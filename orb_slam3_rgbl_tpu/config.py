@@ -1,0 +1,241 @@
+"""Typed configuration + translator for the reference's YAML files.
+
+The reference has two config generations (SURVEY.md §5): legacy flat keys
+parsed by ``Tracking::Parse{Cam,ORB,IMU}ParamFile`` (``Tracking.cc:619-1424``)
+and DepthModule's ``ParseRGBLParameters`` (``DepthModule.cc:281-601``), plus
+the new ``File.version: "1.0"`` ``Settings`` format. Here there is ONE typed
+config (`SlamConfig`) and `load_config` understands the reference's legacy
+flat-key YAML (e.g. ``Examples/RGB-L/KITTI00-02.yaml``) so existing per-
+sequence files work unmodified.
+
+The YAML subset parser is self-contained (OpenCV ``%YAML:1.0`` headers and
+``key: value`` lines) — no external YAML dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Optional
+
+from orb_slam3_rgbl_tpu.geometry.camera import PinholeCamera
+
+
+# Sensor modes — superset of the reference enum (``System.h:87-96``,
+# where RGBL=6 is the fork's addition).
+MONOCULAR = 0
+STEREO = 1
+RGBD = 2
+IMU_MONOCULAR = 3
+IMU_STEREO = 4
+IMU_RGBD = 5
+RGBL = 6
+
+SENSOR_NAMES = {
+    MONOCULAR: "MONOCULAR",
+    STEREO: "STEREO",
+    RGBD: "RGBD",
+    IMU_MONOCULAR: "IMU_MONOCULAR",
+    IMU_STEREO: "IMU_STEREO",
+    IMU_RGBD: "IMU_RGBD",
+    RGBL: "RGBL",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB extractor settings (``ORBextractor.nFeatures`` etc.)."""
+
+    n_features: int = 2000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 12
+    min_th_fast: int = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class LidarConfig:
+    """RGB-L depth-module settings (``DepthModule::ParseRGBLParameters``,
+    reference ``DepthModule.cc:281-497``)."""
+
+    # Row-major 3x4 T_velo→cam (LiDAR.Tr11..Tr34)
+    T_velo_cam: tuple = (
+        1.0, 0.0, 0.0, 0.0,
+        0.0, 1.0, 0.0, 0.0,
+        0.0, 0.0, 1.0, 0.0,
+    )
+    method: str = "InverseDilation"  # None|NearestNeighborPixel|AverageFiltering|InverseDilation
+    min_dist: float = 5.0
+    max_dist: float = 200.0
+    # NearestNeighborPixel
+    nn_search_distance: float = 7.0
+    # AverageFiltering
+    avg_dilation_preprocessing: bool = True
+    avg_dilation_kernel_type: str = "Diamond"
+    avg_dilation_kernel_size: int = 3
+    avg_kernel_size: int = 5
+    # InverseDilation
+    dil_kernel_type: str = "Diamond"
+    dil_kernel_size_u: int = 5
+    dil_kernel_size_v: int = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class ImuConfig:
+    """IMU noise/extrinsics (``Tracking::ParseIMUParamFile``,
+    ``Tracking.cc:1299-1424``)."""
+
+    T_body_cam: tuple = (
+        1.0, 0.0, 0.0, 0.0,
+        0.0, 1.0, 0.0, 0.0,
+        0.0, 0.0, 1.0, 0.0,
+        0.0, 0.0, 0.0, 1.0,
+    )
+    noise_gyro: float = 1.7e-4
+    noise_acc: float = 2.0e-3
+    gyro_walk: float = 1.9e-5
+    acc_walk: float = 3.0e-3
+    frequency: float = 200.0
+    inserts_kfs_when_lost: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    sensor: int = RGBL
+    camera: PinholeCamera = dataclasses.field(default_factory=PinholeCamera)
+    orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
+    lidar: LidarConfig = dataclasses.field(default_factory=LidarConfig)
+    imu: Optional[ImuConfig] = None
+    fps: float = 10.0
+    rgb_order: bool = True
+    depth_map_factor: float = 1000.0
+    # capacity pool sizes (static shapes; SURVEY.md §7 design stance)
+    max_keyframes: int = 2048
+    max_map_points: int = 262144
+    max_maps: int = 8
+    # system toggles (``System.cc:104-109`` loopClosing flag)
+    loop_closing: bool = True
+
+    @property
+    def inertial(self) -> bool:
+        return self.sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD)
+
+
+_NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def parse_opencv_yaml(path: str) -> dict:
+    """Parse the flat ``key: value`` subset of OpenCV YAML used by every
+    reference settings file. Returns {str: float|int|str}."""
+    out: dict = {}
+    with open(path, "r") as f:
+        for line in f:
+            line = line.split("#", 1)[0].rstrip()
+            if not line or line.startswith("%"):
+                continue
+            if ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip()
+            val = val.strip().strip('"')
+            if not key or not val:
+                continue
+            if _NUM_RE.match(val):
+                num = float(val)
+                out[key] = int(num) if num == int(num) and "." not in val and "e" not in val.lower() else num
+            else:
+                out[key] = val
+    return out
+
+
+def load_config(path: str, sensor: int = RGBL) -> SlamConfig:
+    """Build a `SlamConfig` from a reference-format YAML file."""
+    kv = parse_opencv_yaml(path)
+
+    def g(key, default=None):
+        return kv.get(key, default)
+
+    cam = PinholeCamera(
+        fx=float(g("Camera.fx", g("Camera1.fx", 718.856))),
+        fy=float(g("Camera.fy", g("Camera1.fy", 718.856))),
+        cx=float(g("Camera.cx", g("Camera1.cx", 607.1928))),
+        cy=float(g("Camera.cy", g("Camera1.cy", 185.2157))),
+        k1=float(g("Camera.k1", 0.0)),
+        k2=float(g("Camera.k2", 0.0)),
+        p1=float(g("Camera.p1", 0.0)),
+        p2=float(g("Camera.p2", 0.0)),
+        k3=float(g("Camera.k3", 0.0)),
+        width=int(g("Camera.width", 1241)),
+        height=int(g("Camera.height", 376)),
+        bf=float(g("Camera.bf", 0.0)),
+        th_depth=float(g("Stereo.ThDepth", g("ThDepth", 35.0))),
+    )
+    orb = OrbConfig(
+        n_features=int(g("ORBextractor.nFeatures", 2000)),
+        scale_factor=float(g("ORBextractor.scaleFactor", 1.2)),
+        n_levels=int(g("ORBextractor.nLevels", 8)),
+        ini_th_fast=int(g("ORBextractor.iniThFAST", 12)),
+        min_th_fast=int(g("ORBextractor.minThFAST", 7)),
+    )
+    tr = tuple(
+        float(g(f"LiDAR.Tr{i}{j}", 1.0 if (j == i) else 0.0))
+        for i in (1, 2, 3)
+        for j in (1, 2, 3, 4)
+    )
+    lidar = LidarConfig(
+        T_velo_cam=tr,
+        method=str(g("LiDAR.Method", "InverseDilation")),
+        min_dist=float(g("LiDAR.min_dist", 5.0)),
+        max_dist=float(g("LiDAR.max_dist", 200.0)),
+        nn_search_distance=float(g("LiDAR.MethodNearestNeighborPixel.SearchDistance", 7.0)),
+        avg_dilation_preprocessing=bool(g("LiDAR.MethodAverageFiltering.bDoDilationPreprocessing", 1)),
+        avg_dilation_kernel_type=str(g("LiDAR.MethodAverageFiltering.DilationPreprocessing_KernelType", "Diamond")),
+        avg_dilation_kernel_size=int(g("LiDAR.MethodAverageFiltering.DilationPreprocessing_KernelSize", 3)),
+        avg_kernel_size=int(g("LiDAR.MethodAverageFiltering.KernelSize", 5)),
+        dil_kernel_type=str(g("LiDAR.MethodInverseDilation.KernelType", "Diamond")),
+        dil_kernel_size_u=int(g("LiDAR.MethodInverseDilation.KernelSize_u", 5)),
+        dil_kernel_size_v=int(g("LiDAR.MethodInverseDilation.KernelSize_v", 7)),
+    )
+    imu = None
+    if sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD) or "IMU.NoiseGyro" in kv:
+        tbc = kv.get("Tbc.data")
+        imu = ImuConfig(
+            noise_gyro=float(g("IMU.NoiseGyro", 1.7e-4)),
+            noise_acc=float(g("IMU.NoiseAcc", 2.0e-3)),
+            gyro_walk=float(g("IMU.GyroWalk", 1.9e-5)),
+            acc_walk=float(g("IMU.AccWalk", 3.0e-3)),
+            frequency=float(g("IMU.Frequency", 200.0)),
+        )
+    return SlamConfig(
+        sensor=sensor,
+        camera=cam,
+        orb=orb,
+        lidar=lidar,
+        imu=imu,
+        fps=float(g("Camera.fps", 10.0)),
+        rgb_order=bool(g("Camera.RGB", 1)),
+        depth_map_factor=float(g("RGBD.DepthMapFactor", 1000.0)),
+        loop_closing=bool(g("loopClosing", 1)),
+    )
+
+
+def kitti_rgbl_config(sensor: int = RGBL) -> SlamConfig:
+    """The KITTI 00-02 RGB-L configuration (constants from
+    ``Examples/RGB-L/KITTI00-02.yaml``) as a ready-made default for tests
+    and benchmarks — no file needed."""
+    tr = (
+        4.276802385584e-04, -9.999672484946e-01, -8.084491683471e-03, -1.198459927713e-02,
+        -7.210626507497e-03, 8.081198471645e-03, -9.999413164504e-01, -5.403984729748e-02,
+        9.999738645903e-01, 4.859485810390e-04, -7.206933692422e-03, -2.921968648686e-01,
+    )
+    return SlamConfig(
+        sensor=sensor,
+        camera=PinholeCamera(
+            fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+            width=1241, height=376, bf=100.0, th_depth=700.0,
+        ),
+        orb=OrbConfig(n_features=2000, scale_factor=1.2, n_levels=8, ini_th_fast=12, min_th_fast=7),
+        lidar=LidarConfig(T_velo_cam=tr, method="InverseDilation", min_dist=5.0, max_dist=200.0,
+                          dil_kernel_type="Diamond", dil_kernel_size_u=5, dil_kernel_size_v=7),
+        fps=10.0,
+    )

@@ -1,0 +1,195 @@
+"""Camera models: pinhole and Kannala-Brandt fisheye.
+
+Functional replacements for the reference's ``GeometricCamera`` hierarchy
+(``src/CameraModels/GeometricCamera.h:61-86``: project / unproject /
+projectJac) — Pinhole (``Pinhole.cpp``) and KannalaBrandt8
+(``KannalaBrandt8.cpp``). All functions broadcast over leading axes and
+are jit/vmap-safe.
+
+A camera is a small dataclass of static floats (hashable, usable as a jit
+static argument) plus pure functions taking explicit parameter arrays when
+differentiability w.r.t. intrinsics is needed (it never is in this system).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PinholeCamera:
+    """fx, fy, cx, cy (+ optional radial-tangential distortion k1..k3, p1, p2).
+
+    KITTI sequences are pre-rectified (all distortion zero —
+    ``Examples/RGB-L/KITTI00-02.yaml:14-18``).
+    """
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 1241
+    height: int = 376
+    bf: float = 0.0         # stereo baseline × fx (Camera.bf)
+    th_depth: float = 0.0   # close/far threshold = bf × ThDepth / fx
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(v) > 0 for v in (self.k1, self.k2, self.p1, self.p2, self.k3))
+
+    @property
+    def K(self):
+        return jnp.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=jnp.float32,
+        )
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+
+def project(cam: PinholeCamera, pts_cam: jax.Array) -> jax.Array:
+    """Camera-frame points (..., 3) → pixel coordinates (..., 2).
+
+    Matches ``Pinhole::project`` (reference ``Pinhole.cpp``): perspective
+    divide then K. Distortion is applied if configured.
+    """
+    z = pts_cam[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    x = pts_cam[..., 0] * inv_z
+    y = pts_cam[..., 1] * inv_z
+    if cam.has_distortion:
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (cam.k1 + r2 * (cam.k2 + r2 * cam.k3))
+        xd = x * radial + 2.0 * cam.p1 * x * y + cam.p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + cam.p1 * (r2 + 2.0 * y * y) + 2.0 * cam.p2 * x * y
+        x, y = xd, yd
+    u = cam.fx * x + cam.cx
+    v = cam.fy * y + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def unproject(cam: PinholeCamera, uv: jax.Array) -> jax.Array:
+    """Pixels (..., 2) → unit-depth bearing (..., 3) (z = 1).
+
+    ``Pinhole::unproject`` (reference ``Pinhole.cpp``). Distorted models
+    would need iterative undistortion; KITTI is rectified so the linear
+    inverse is exact here.
+    """
+    x = (uv[..., 0] - cam.cx) / cam.fx
+    y = (uv[..., 1] - cam.cy) / cam.fy
+    return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+
+
+def project_jacobian(cam: PinholeCamera, pts_cam: jax.Array) -> jax.Array:
+    """d(u,v)/d(X,Y,Z) for camera-frame points — (..., 2, 3).
+
+    Matches ``Pinhole::projectJac`` (reference ``Pinhole.cpp``), the
+    Jacobian used by every reprojection factor in the optimizer
+    (``OptimizableTypes.h:31-196``). Distortion-free form.
+    """
+    x, y, z = pts_cam[..., 0], pts_cam[..., 1], pts_cam[..., 2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(x)
+    row_u = jnp.stack([cam.fx * inv_z, zeros, -cam.fx * x * inv_z2], axis=-1)
+    row_v = jnp.stack([zeros, cam.fy * inv_z, -cam.fy * y * inv_z2], axis=-1)
+    return jnp.stack([row_u, row_v], axis=-2)
+
+
+def in_image(cam: PinholeCamera, uv: jax.Array, margin: float = 0.0) -> jax.Array:
+    """Boolean mask (...) — pixel within image bounds (frustum gate used by
+    ``Frame::isInFrustum``, reference ``Frame.cc:602``)."""
+    u, v = uv[..., 0], uv[..., 1]
+    return (
+        (u >= margin)
+        & (u < cam.width - margin)
+        & (v >= margin)
+        & (v < cam.height - margin)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kannala-Brandt 8-parameter fisheye (EuRoC/TUM-VI stereo-fisheye support)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class KannalaBrandt8Camera:
+    """Equidistant fisheye: r(θ) = θ + k0 θ³ + k1 θ⁵ + k2 θ⁷ + k3 θ⁹.
+
+    Functional mirror of reference ``KannalaBrandt8.cpp`` (project at
+    ``:44``-ish, unproject via Newton on θ).
+    """
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    k0: float = 0.0
+    k1: float = 0.0
+    k2: float = 0.0
+    k3: float = 0.0
+    width: int = 752
+    height: int = 480
+    bf: float = 0.0
+    th_depth: float = 0.0
+
+
+def kb8_project(cam: KannalaBrandt8Camera, pts_cam: jax.Array) -> jax.Array:
+    x, y, z = pts_cam[..., 0], pts_cam[..., 1], pts_cam[..., 2]
+    r2 = x * x + y * y
+    r = jnp.sqrt(r2 + 1e-18)
+    theta = jnp.arctan2(r, z)
+    t2 = theta * theta
+    d = theta * (1.0 + t2 * (cam.k0 + t2 * (cam.k1 + t2 * (cam.k2 + t2 * cam.k3))))
+    scale = d / r
+    u = cam.fx * scale * x + cam.cx
+    v = cam.fy * scale * y + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def kb8_unproject(cam: KannalaBrandt8Camera, uv: jax.Array, iters: int = 10) -> jax.Array:
+    """Invert the distortion polynomial with fixed-iteration Newton
+    (static trip count — TPU-friendly; reference uses a while loop)."""
+    mx = (uv[..., 0] - cam.cx) / cam.fx
+    my = (uv[..., 1] - cam.cy) / cam.fy
+    d = jnp.sqrt(mx * mx + my * my + 1e-18)
+
+    def body(_, theta):
+        t2 = theta * theta
+        f = theta * (1.0 + t2 * (cam.k0 + t2 * (cam.k1 + t2 * (cam.k2 + t2 * cam.k3)))) - d
+        fp = 1.0 + t2 * (3 * cam.k0 + t2 * (5 * cam.k1 + t2 * (7 * cam.k2 + t2 * 9 * cam.k3)))
+        return theta - f / fp
+
+    theta = jax.lax.fori_loop(0, iters, body, d)
+    scale = jnp.tan(theta) / d
+    return jnp.stack([mx * scale, my * scale, jnp.ones_like(mx)], axis=-1)
+
+
+def stereo_depth_from_disparity(cam: PinholeCamera, u_left: jax.Array, u_right: jax.Array) -> jax.Array:
+    """Depth from pseudo-stereo: z = bf / (uL − uR).
+
+    The reference stores matched features as ``mvuRight`` and recovers
+    depth the same way (``Frame.cc:901-1072``, ``UnprojectStereo``
+    ``Frame.cc:1137``)."""
+    disp = u_left - u_right
+    return cam.bf / jnp.where(jnp.abs(disp) < 1e-6, 1e-6, disp)
+
+
+def virtual_right_u(cam: PinholeCamera, u: jax.Array, depth: jax.Array) -> jax.Array:
+    """Synthesize the pseudo-stereo right coordinate uR = u − bf/z used by the
+    RGB-D/RGB-L paths (reference ``DepthModule.cc:82-104`` and
+    ``Frame::ComputeStereoFromRGBD`` ``Frame.cc:1074``)."""
+    valid = depth > 0
+    uR = u - cam.bf / jnp.where(valid, depth, 1.0)
+    return jnp.where(valid, uR, -1.0)

@@ -1,0 +1,30 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+Multi-chip hardware is unavailable in CI; shardings are validated on
+``--xla_force_host_platform_device_count=8`` per SURVEY.md §4's rebuild
+test strategy.
+
+NOTE: this environment pre-imports jax from a ``sitecustomize`` hook with
+``JAX_PLATFORMS=axon`` (remote TPU), so setting the env var here is too
+late — the config must be updated through ``jax.config`` before any
+backend initialization.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
