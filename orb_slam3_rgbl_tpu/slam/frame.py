@@ -1,0 +1,150 @@
+"""Per-frame feature extraction pipeline (jitted, fixed shapes).
+
+Replaces the reference ``Frame`` constructors (``Frame.cc:101-378``) +
+``ORBextractor::operator()`` (``ORBextractor.cc:1086-1168``): pyramid →
+dense FAST → balanced selection → orientation → blur → rBRIEF, then the
+RGB-L depth association (``DepthModule::CalculateDepthFromPcd``).
+
+Everything for one frame is a single XLA computation: all pyramid levels
+are processed with no host round-trips, and the output is a fixed-size
+``FrameFeatures`` pytree (padded + masked), so downstream tracking jits
+against stable shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_rgbl_tpu.ops import depth as depth_ops
+from orb_slam3_rgbl_tpu.ops import fast as fast_ops
+from orb_slam3_rgbl_tpu.ops import orb as orb_ops
+from orb_slam3_rgbl_tpu.ops import pyramid as pyr_ops
+
+
+class FrameFeatures(NamedTuple):
+    """Struct-of-arrays feature frame (fixed capacity N = n_features).
+
+    Mirrors the reference ``Frame`` members (``Frame.h:229-258``):
+    mvKeysUn → uv, mDescriptors → desc, mvuRight/mvDepth → u_right/depth.
+    """
+
+    uv: jax.Array        # (N, 2) f32 — level-0 pixel coords
+    response: jax.Array  # (N,)   f32
+    octave: jax.Array    # (N,)   i32 — pyramid level
+    angle: jax.Array     # (N,)   f32 — radians
+    desc: jax.Array      # (N, 8) u32 — packed 256-bit rBRIEF
+    valid: jax.Array     # (N,)   bool
+    depth: jax.Array     # (N,)   f32 — −1 where unknown
+    u_right: jax.Array   # (N,)   f32 — pseudo-stereo column, −1 invalid
+
+    @property
+    def n(self) -> int:
+        return self.uv.shape[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "n_features", "n_levels", "scale_factor",
+                     "ini_th", "min_th", "cell"),
+)
+def extract_features(
+    img: jax.Array,
+    height: int,
+    width: int,
+    n_features: int = 2000,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+    ini_th: float = 12.0,
+    min_th: float = 7.0,
+    cell: int = 32,
+) -> FrameFeatures:
+    """Grayscale f32 (H, W) image → FrameFeatures (depth fields = −1)."""
+    levels = pyr_ops.build_pyramid(img, height, width, n_levels, scale_factor)
+    budgets = fast_ops.features_per_level(n_features, n_levels, scale_factor)
+    scales = pyr_ops.level_scales(n_levels, scale_factor)
+
+    uvs, resps, octs, angs, descs, valids = [], [], [], [], [], []
+    for l, lv in enumerate(levels):
+        score = fast_ops.fast_score(lv)
+        uv_l, resp_l, valid_l = fast_ops.select_keypoints(
+            score, budgets[l], cell=cell, ini_th=ini_th, min_th=min_th, margin=19
+        )
+        ang_l = orb_ops.ic_angle(lv, uv_l)
+        blurred = pyr_ops.gaussian_blur(lv)
+        desc_l = orb_ops.brief_descriptors(blurred, uv_l, ang_l)
+        uvs.append(uv_l.astype(jnp.float32) * scales[l])
+        resps.append(resp_l)
+        octs.append(jnp.full((budgets[l],), l, jnp.int32))
+        angs.append(ang_l)
+        descs.append(desc_l)
+        valids.append(valid_l)
+
+    n_total = sum(budgets)
+    feats = FrameFeatures(
+        uv=jnp.concatenate(uvs, axis=0),
+        response=jnp.concatenate(resps, axis=0),
+        octave=jnp.concatenate(octs, axis=0),
+        angle=jnp.concatenate(angs, axis=0),
+        desc=jnp.concatenate(descs, axis=0),
+        valid=jnp.concatenate(valids, axis=0),
+        depth=jnp.full((n_total,), -1.0, jnp.float32),
+        u_right=jnp.full((n_total,), -1.0, jnp.float32),
+    )
+    return feats
+
+
+def scale_sigma2(n_levels: int = 8, scale_factor: float = 1.2) -> jax.Array:
+    """Per-octave measurement variance (reference ``mvLevelSigma2``)."""
+    s = jnp.asarray([scale_factor ** (2 * l) for l in range(n_levels)], jnp.float32)
+    return s
+
+
+def inv_scale_sigma2(n_levels: int = 8, scale_factor: float = 1.2) -> jax.Array:
+    return 1.0 / scale_sigma2(n_levels, scale_factor)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "method", "dil_kind", "dil_ku", "dil_kv"),
+)
+def attach_lidar_depth(
+    feats: FrameFeatures,
+    points: jax.Array,
+    P: jax.Array,
+    height: int,
+    width: int,
+    bf: float,
+    min_dist: float = 5.0,
+    max_dist: float = 200.0,
+    method: str = "InverseDilation",
+    dil_kind: str = "Diamond",
+    dil_ku: int = 5,
+    dil_kv: int = 7,
+    valid_mask: jax.Array | None = None,
+) -> Tuple[FrameFeatures, jax.Array]:
+    """RGB-L: run the depth engine and bind per-feature depth
+    (≡ reference ``Frame`` RGBL ctor ``Frame.cc:289-378``)."""
+    d, ur, dense = depth_ops.compute_depth_from_pointcloud(
+        points, P, feats.uv, feats.uv,
+        height=height, width=width, bf=bf, method=method,
+        min_dist=min_dist, max_dist=max_dist,
+        dil_kind=dil_kind, dil_ku=dil_ku, dil_kv=dil_kv,
+        valid_mask=valid_mask,
+    )
+    d = jnp.where(feats.valid, d, -1.0)
+    ur = jnp.where(feats.valid, ur, -1.0)
+    return feats._replace(depth=d, u_right=ur), dense
+
+
+@jax.jit
+def attach_depth_map(feats: FrameFeatures, depth_map: jax.Array, bf: float, depth_factor: float = 1.0) -> FrameFeatures:
+    """RGB-D: sample a precomputed depth image at the keypoints
+    (≡ ``Frame::ComputeStereoFromRGBD``, reference ``Frame.cc:1074``)."""
+    d, ur = depth_ops.feature_depth(depth_map / depth_factor, feats.uv, feats.uv, bf)
+    d = jnp.where(feats.valid, d, -1.0)
+    ur = jnp.where(feats.valid, ur, -1.0)
+    return feats._replace(depth=d, u_right=ur)

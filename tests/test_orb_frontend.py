@@ -1,0 +1,233 @@
+"""ORB frontend tests: FAST vs OpenCV golden, descriptor invariances,
+Hamming matching identities."""
+
+import numpy as np
+import cv2
+import jax.numpy as jnp
+
+from orb_slam3_rgbl_tpu.ops import fast as fast_ops
+from orb_slam3_rgbl_tpu.ops import orb as orb_ops
+from orb_slam3_rgbl_tpu.ops import pyramid as pyr_ops
+from orb_slam3_rgbl_tpu.ops import matching
+from orb_slam3_rgbl_tpu.slam import frame as frame_mod
+
+
+def synth_image(rng, h=240, w=320, n_blobs=120):
+    """Random blob image with corner-rich structure."""
+    img = np.zeros((h, w), np.float32)
+    ys = rng.integers(20, h - 20, n_blobs)
+    xs = rng.integers(20, w - 20, n_blobs)
+    for y, x in zip(ys, xs):
+        sz = int(rng.integers(3, 12))
+        val = float(rng.uniform(60, 255))
+        img[y : y + sz, x : x + sz] = val
+    img = cv2.GaussianBlur(img, (3, 3), 0.8)
+    return img
+
+
+class TestFast:
+    def test_corner_set_matches_opencv(self, rng):
+        img = synth_image(rng)
+        u8 = img.astype(np.uint8)
+        th = 20
+        cv_kps = cv2.FastFeatureDetector_create(
+            threshold=th, nonmaxSuppression=False, type=cv2.FastFeatureDetector_TYPE_9_16
+        ).detect(u8)
+        cv_set = {(int(k.pt[0]), int(k.pt[1])) for k in cv_kps}
+        score = np.asarray(fast_ops.fast_score(jnp.asarray(u8.astype(np.float32))))
+        ours = set(zip(*np.nonzero((score > th).T)))
+        # Ours masks a 3px border; OpenCV does too. Sets should agree.
+        missing = cv_set - ours
+        extra = ours - cv_set
+        assert len(missing) <= 0.01 * max(len(cv_set), 1), f"missing {len(missing)} of {len(cv_set)}"
+        assert len(extra) <= 0.01 * max(len(cv_set), 1), f"extra {len(extra)}"
+
+    def test_score_matches_opencv_response(self, rng):
+        img = synth_image(rng)
+        u8 = img.astype(np.uint8)
+        cv_kps = cv2.FastFeatureDetector_create(
+            threshold=12, nonmaxSuppression=True, type=cv2.FastFeatureDetector_TYPE_9_16
+        ).detect(u8)
+        score = np.asarray(fast_ops.fast_score(jnp.asarray(u8.astype(np.float32))))
+        # OpenCV response = cornerScore = max threshold − 1-ish; our float
+        # score should match within 1 for detected corners
+        errs = []
+        for k in cv_kps[:200]:
+            x, y = int(k.pt[0]), int(k.pt[1])
+            errs.append(abs(score[y, x] - k.response))
+        assert np.median(errs) <= 1.0, np.median(errs)
+
+    def test_select_keypoints_budget_and_balance(self, rng):
+        img = synth_image(rng)
+        score = fast_ops.fast_score(jnp.asarray(img))
+        uv, resp, valid = fast_ops.select_keypoints(score, 200, cell=32, ini_th=12.0, min_th=7.0)
+        uv, resp, valid = map(np.asarray, (uv, resp, valid))
+        assert uv.shape == (200, 2)
+        assert valid.sum() > 50
+        # spatial balance: no single 32px cell should dominate
+        cells = (uv[valid][:, 1] // 32) * 100 + (uv[valid][:, 0] // 32)
+        _, counts = np.unique(cells, return_counts=True)
+        assert counts.max() <= 8  # per_cell_k default
+
+    def test_two_threshold_fallback(self):
+        # an image with one strong corner region and one weak corner region
+        img = np.zeros((96, 96), np.float32)
+        img[20:28, 20:28] = 200.0   # strong
+        img[60:68, 60:68] = 9.0     # weak (below ini_th=12, above min_th=7)
+        score = fast_ops.fast_score(jnp.asarray(img))
+        uv, resp, valid = fast_ops.select_keypoints(score, 50, cell=48, ini_th=12.0, min_th=7.0)
+        uv, valid = np.asarray(uv), np.asarray(valid)
+        got_weak = ((uv[valid][:, 0] > 48) & (uv[valid][:, 1] > 48)).any()
+        got_strong = ((uv[valid][:, 0] < 48) & (uv[valid][:, 1] < 48)).any()
+        assert got_strong and got_weak
+
+
+class TestOrientation:
+    def test_gradient_direction(self):
+        # horizontal intensity ramp → centroid points along +x → angle ≈ 0
+        img = np.tile(np.linspace(0, 255, 64, dtype=np.float32), (64, 1))
+        uv = jnp.asarray([[32, 32]], jnp.int32)
+        ang = float(orb_ops.ic_angle(jnp.asarray(img), uv)[0])
+        assert abs(ang) < 0.05
+        # vertical ramp → +y
+        ang2 = float(orb_ops.ic_angle(jnp.asarray(img.T.copy()), uv)[0])
+        assert abs(ang2 - np.pi / 2) < 0.05
+
+    def test_rotation_equivariance(self, rng):
+        img = synth_image(rng, 128, 128)
+        center = (64, 64)
+        rot = cv2.getRotationMatrix2D(center, 30.0, 1.0)  # 30° CCW in image coords
+        img_r = cv2.warpAffine(img, rot, (128, 128))
+        uv = jnp.asarray([[64, 64]], jnp.int32)
+        a0 = float(orb_ops.ic_angle(jnp.asarray(img), uv)[0])
+        a1 = float(orb_ops.ic_angle(jnp.asarray(img_r), uv)[0])
+        # y-down coords: CCW visual rotation decreases atan2 angle
+        diff = (a0 - a1 - np.deg2rad(30)) % (2 * np.pi)
+        diff = min(diff, 2 * np.pi - diff)
+        assert diff < 0.15, (a0, a1)
+
+
+class TestDescriptors:
+    def test_deterministic_and_bit_packed(self, rng):
+        img = synth_image(rng)
+        uv = jnp.asarray([[50, 50], [100, 80]], jnp.int32)
+        ang = jnp.zeros((2,))
+        blurred = pyr_ops.gaussian_blur(jnp.asarray(img))
+        d1 = np.asarray(orb_ops.brief_descriptors(blurred, uv, ang))
+        d2 = np.asarray(orb_ops.brief_descriptors(blurred, uv, ang))
+        assert d1.shape == (2, 8) and d1.dtype == np.uint32
+        assert (d1 == d2).all()
+
+    def test_rotation_invariance_of_steered_brief(self, rng):
+        """Descriptor at a rotated keypoint with compensated angle should
+        be close in Hamming distance to the original."""
+        img = synth_image(rng, 160, 160)
+        center = (80, 80)
+        blurred0 = pyr_ops.gaussian_blur(jnp.asarray(img))
+        uv = jnp.asarray([[80, 80]], jnp.int32)
+        a0 = orb_ops.ic_angle(blurred0, uv)
+        d0 = np.asarray(orb_ops.brief_descriptors(blurred0, uv, a0))
+
+        rot = cv2.getRotationMatrix2D(center, 45.0, 1.0)
+        img_r = cv2.warpAffine(img, rot, (160, 160))
+        blurred1 = pyr_ops.gaussian_blur(jnp.asarray(img_r))
+        a1 = orb_ops.ic_angle(blurred1, uv)
+        d1 = np.asarray(orb_ops.brief_descriptors(blurred1, uv, a1))
+
+        dist = int(np.asarray(matching.hamming_distance_packed(jnp.asarray(d0), jnp.asarray(d1)))[0, 0])
+        assert dist < 70, dist  # unrelated descriptors average ~128
+
+    def test_unpack_pm1_identity(self, rng):
+        desc = jnp.asarray(rng.integers(0, 2**32, size=(4, 8), dtype=np.uint32))
+        pm1 = np.asarray(orb_ops.unpack_descriptors_pm1(desc, jnp.float32))
+        assert pm1.shape == (4, 256)
+        assert set(np.unique(pm1)) <= {-1.0, 1.0}
+        # popcount identity
+        bits = ((np.asarray(desc)[:, :, None] >> np.arange(32)[None, None]) & 1).reshape(4, 256)
+        np.testing.assert_allclose(pm1, 2.0 * bits - 1.0)
+
+
+class TestMatching:
+    def test_mxu_equals_packed(self, rng):
+        a = jnp.asarray(rng.integers(0, 2**32, size=(64, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2**32, size=(96, 8), dtype=np.uint32))
+        d1 = np.asarray(matching.hamming_distance_packed(a, b))
+        d2 = np.asarray(matching.hamming_distance_mxu(a, b))
+        np.testing.assert_allclose(d2, d1, atol=0)
+
+    def test_mutual_best_match_identity(self, rng):
+        desc = jnp.asarray(rng.integers(0, 2**32, size=(32, 8), dtype=np.uint32))
+        d = matching.distance_table(desc, desc)
+        idx, dist = matching.mutual_best_match(d, check_rotation=False, th=50, ratio=0.9)
+        idx = np.asarray(idx)
+        np.testing.assert_array_equal(idx, np.arange(32))
+
+    def test_ratio_test_rejects_ambiguous(self, rng):
+        base = rng.integers(0, 2**32, size=(1, 8), dtype=np.uint32)
+        # b contains two candidates at distances 20 and 21 → fails 0.9 ratio
+        flip20 = base.copy()
+        flip20[0, 0] ^= np.uint32((1 << 20) - 1)          # 20 bits
+        flip21 = base.copy()
+        flip21[0, 1] ^= np.uint32((1 << 21) - 1)          # 21 bits
+        b = np.concatenate([flip20, flip21], axis=0)
+        d = matching.distance_table(jnp.asarray(base), jnp.asarray(b))
+        idx, _ = matching.mutual_best_match(d, check_rotation=False, th=50, ratio=0.9)
+        assert int(np.asarray(idx)[0]) == -1
+
+    def test_windowed_projection_match(self, rng):
+        n = 16
+        desc = jnp.asarray(rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32))
+        uv = jnp.asarray(rng.uniform(20, 200, size=(n, 2)).astype(np.float32))
+        octv = jnp.zeros((n,), jnp.int32)
+        vmask = jnp.ones((n,), bool)
+        # same points, slightly perturbed projections
+        proj_uv = uv + jnp.asarray(rng.normal(0, 1.0, (n, 2)).astype(np.float32))
+        radius = jnp.full((n,), 4.0)
+        idx, dist = matching.windowed_projection_match(
+            proj_uv, vmask, desc, octv, uv, vmask, desc, octv, radius
+        )
+        np.testing.assert_array_equal(np.asarray(idx), np.arange(n))
+
+    def test_window_excludes_far(self, rng):
+        desc = jnp.asarray(rng.integers(0, 2**32, size=(2, 8), dtype=np.uint32))
+        uv = jnp.asarray([[10.0, 10.0], [200.0, 200.0]], jnp.float32)
+        proj_uv = jnp.asarray([[100.0, 100.0], [100.0, 100.0]], jnp.float32)
+        octv = jnp.zeros((2,), jnp.int32)
+        vmask = jnp.ones((2,), bool)
+        radius = jnp.full((2,), 5.0)
+        idx, _ = matching.windowed_projection_match(
+            proj_uv, vmask, desc, octv, uv, vmask, desc, octv, radius
+        )
+        assert (np.asarray(idx) == -1).all()
+
+
+class TestFramePipeline:
+    def test_extract_features_shapes_and_validity(self, rng):
+        img = synth_image(rng, 192, 256)
+        feats = frame_mod.extract_features(jnp.asarray(img), 192, 256, n_features=500)
+        assert feats.uv.shape[0] == feats.desc.shape[0] == feats.valid.shape[0]
+        v = np.asarray(feats.valid)
+        assert v.sum() > 100, v.sum()
+        uv = np.asarray(feats.uv)[v]
+        assert (uv[:, 0] >= 0).all() and (uv[:, 0] < 256).all()
+        oct_ = np.asarray(feats.octave)[v]
+        assert oct_.max() >= 1  # multi-level detections exist
+
+    def test_matching_across_translation(self, rng):
+        """Features of a translated image should match back to the
+        original with consistent displacement."""
+        img = synth_image(rng, 192, 256)
+        dx = 6
+        img2 = np.roll(img, dx, axis=1)
+        f1 = frame_mod.extract_features(jnp.asarray(img), 192, 256, n_features=400)
+        f2 = frame_mod.extract_features(jnp.asarray(img2), 192, 256, n_features=400)
+        d = matching.distance_table(f1.desc, f2.desc, f1.valid, f2.valid)
+        idx, dist = matching.mutual_best_match(d, f1.angle, f2.angle, th=40, ratio=0.8)
+        idx = np.asarray(idx)
+        uv1 = np.asarray(f1.uv)
+        uv2 = np.asarray(f2.uv)
+        good = idx >= 0
+        assert good.sum() > 30, good.sum()
+        disp = uv2[idx[good]] - uv1[good]
+        med = np.median(disp, axis=0)
+        assert abs(med[0] - dx) < 1.0 and abs(med[1]) < 1.0, med
