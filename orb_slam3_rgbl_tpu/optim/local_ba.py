@@ -101,7 +101,12 @@ def _linearize(problem: BAProblem, cam: PinholeCamera, use_huber: bool, obs_acti
     Jp = -Jproj @ dpc_dpose
     Jl = -Jproj @ R_obs  # d(pc)/dX = R
 
-    stereo_row = jnp.where(is_stereo[..., None, None], 1.0, jnp.array([1.0, 1.0, 0.0])[None, None, :, None])
+    mono_rows = jnp.array([1.0, 1.0, 0.0], dtype=pc.dtype)
+    stereo_row = jnp.where(
+        is_stereo[..., None, None],
+        jnp.ones((), dtype=pc.dtype),
+        mono_rows[None, None, :, None],
+    )
     Jp = Jp * stereo_row
     Jl = Jl * stereo_row
 

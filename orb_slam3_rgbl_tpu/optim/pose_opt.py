@@ -84,7 +84,8 @@ def _residuals_and_jac(Tcw: jax.Array, obs: PoseObs, cam: PinholeCamera):
     Jfull = jnp.concatenate([Juv, dur[:, None, :]], axis=1)  # (M, 3, 3)
     # residual = measured − predicted → J_r = −J_pred
     J = -jnp.einsum("mij,mjk->mik", Jfull, dpc)  # (M, 3, 6)
-    J = jnp.where(is_stereo[:, None, None], J, J * jnp.array([1.0, 1.0, 0.0])[None, :, None])
+    mono_rows = jnp.array([1.0, 1.0, 0.0], dtype=J.dtype)
+    J = jnp.where(is_stereo[:, None, None], J, J * mono_rows[None, :, None])
 
     # behind-camera observations are unusable this round
     depth_ok = z > 1e-3

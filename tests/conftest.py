@@ -20,6 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Enabled suite-wide (several geometry tests verify f64 numerics); the
+# library itself must stay dtype-strict and run pure-f32 on TPU.
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

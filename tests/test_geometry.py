@@ -8,7 +8,6 @@ from scipy.spatial.transform import Rotation
 from orb_slam3_rgbl_tpu.geometry import lie, camera, triangulation, align
 from orb_slam3_rgbl_tpu.config import kitti_rgbl_config
 
-jax.config.update("jax_enable_x64", True)
 
 
 def make_cam():

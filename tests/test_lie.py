@@ -9,7 +9,6 @@ from scipy.spatial.transform import Rotation
 
 from orb_slam3_rgbl_tpu.geometry import lie
 
-jax.config.update("jax_enable_x64", True)
 
 
 def rand_quat(rng, n=None):
