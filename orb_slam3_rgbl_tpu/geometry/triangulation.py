@@ -93,9 +93,8 @@ def epipolar_distance_sq(F12: jax.Array, uv1: jax.Array, uv2: jax.Array) -> jax.
     """Squared point-to-epipolar-line distance of uv2 against line F·uv1 —
     the gate of ``ORBmatcher::SearchForTriangulation`` (reference
     ``ORBmatcher.cc``, epipolar check uses dist² < 3.84 σ²)."""
-    ones = jnp.ones_like(uv1[..., :1])
-    x1 = jnp.concatenate([uv1, ones], axis=-1)
-    x2 = jnp.concatenate([uv2, ones], axis=-1)
+    x1 = jnp.concatenate([uv1, jnp.ones_like(uv1[..., :1])], axis=-1)
+    x2 = jnp.concatenate([uv2, jnp.ones_like(uv2[..., :1])], axis=-1)
     line = jnp.einsum("...ij,...j->...i", jnp.swapaxes(F12, -1, -2), x1)
     num = jnp.einsum("...i,...i->...", x2, line)
     den = line[..., 0] ** 2 + line[..., 1] ** 2

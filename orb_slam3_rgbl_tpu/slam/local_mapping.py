@@ -1,0 +1,279 @@
+"""Local mapping: per-keyframe map refinement.
+
+Replaces the reference ``LocalMapping`` thread (``LocalMapping.cc:64-283``)
+as a synchronous (or host-async) phase invoked after keyframe insertion:
+
+  ProcessNewKeyFrame → MapPointCulling → CreateNewMapPoints (epipolar
+  triangulation) → local BA (Schur) → KeyFrameCulling.
+
+The mapping plane is independent of tracking's latency budget; on real
+deployments it runs as an async dispatch on a second computation stream
+(the tracking plane only consumes updated arrays at frame boundaries).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam3_rgbl_tpu.config import SlamConfig
+from orb_slam3_rgbl_tpu.geometry import lie, triangulation
+from orb_slam3_rgbl_tpu.ops import matching
+from orb_slam3_rgbl_tpu.optim import local_ba
+from orb_slam3_rgbl_tpu.slam.frame import inv_scale_sigma2
+from orb_slam3_rgbl_tpu.slam.map_state import MapState
+
+BA_POSES_CAP = 24       # optimized + fixed window sizes (static shapes)
+BA_LM_CAP = 8192
+BA_OBS_CAP = 8          # D — max obs per landmark inside the window
+
+
+class LocalMapper:
+    def __init__(self, config: SlamConfig, map_state: MapState):
+        self.cfg = config
+        self.cam = config.camera
+        self.map = map_state
+        self.inv_sigma2 = np.asarray(inv_scale_sigma2(config.orb.n_levels, config.orb.scale_factor))
+        self.recent_lm: list = []   # (lm_ids, created_at_kf) for culling
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf_id: int, run_ba: bool = True):
+        self.map.update_landmark_stats(np.array([kf_id]))
+        self._map_point_culling(kf_id)
+        self._triangulate_new_points(kf_id)
+        if run_ba and self.map.n_kf >= 3:
+            self.local_bundle_adjustment(kf_id)
+        self._keyframe_culling(kf_id)
+
+    # ------------------------------------------------------------------
+    def _map_point_culling(self, kf_id: int):
+        """Reference ``MapPointCulling`` (LocalMapping.cc:346-386): kill
+        landmarks with found/visible < 0.25, or with < 3 observations
+        after 2 keyframes."""
+        if not self.recent_lm:
+            self._note_new_landmarks(kf_id)
+            return
+        counts = self.map.observation_counts()
+        keep_list = []
+        for lm_ids, born_kf in self.recent_lm:
+            lm_ids = lm_ids[self.map.lm_valid[lm_ids]]
+            age = self.map.n_kf - born_kf
+            ratio = self.map.lm_found[lm_ids] / np.maximum(self.map.lm_visible[lm_ids], 1)
+            bad = ratio < 0.25
+            if age >= 2:
+                bad |= counts[lm_ids] < 3
+            self.map.remove_landmarks(lm_ids[bad])
+            if age < 3:
+                keep_list.append((lm_ids[~bad], born_kf))
+        self.recent_lm = keep_list
+        self._note_new_landmarks(kf_id)
+
+    def _note_new_landmarks(self, kf_id: int):
+        ids = self.map.kf_lm_idx[kf_id]
+        ids = ids[ids >= 0]
+        born = ids[self.map.lm_first_kf[ids] == kf_id]
+        if born.size:
+            self.recent_lm.append((born.copy(), self.map.n_kf))
+
+    # ------------------------------------------------------------------
+    def _triangulate_new_points(self, kf_id: int, n_neighbors: int = 10):
+        """Reference ``CreateNewMapPoints`` (LocalMapping.cc:388-713):
+        epipolar-gated matching of unbound features against the best
+        covisible keyframes, DLT triangulation, parallax/reprojection/
+        positive-depth checks. Depth sensors already provide close points,
+        so this adds the *far* structure that stabilizes rotation."""
+        neighbors = self.map.best_covisible(kf_id, n_neighbors, min_weight=15)
+        if neighbors.size == 0:
+            return
+        K1 = jnp.asarray(self.cam.K)
+        T1 = jnp.asarray(self.map.kf_pose[kf_id])
+        uv1 = self.map.kf_uv[kf_id]
+        unbound1 = (self.map.kf_lm_idx[kf_id] < 0) & self.map.kf_feat_valid[kf_id]
+        desc1 = jnp.asarray(self.map.kf_desc[kf_id])
+        created_all = []
+        for k2 in neighbors:
+            T2 = jnp.asarray(self.map.kf_pose[k2])
+            # baseline check: skip if baseline too small vs median depth
+            b = np.asarray(lie.se3_trans(lie.se3_mul(T1, lie.se3_inv(T2))))
+            baseline = float(np.linalg.norm(b))
+            if baseline < 0.08:
+                continue
+            unbound2 = (self.map.kf_lm_idx[k2] < 0) & self.map.kf_feat_valid[k2]
+            if unbound1.sum() < 10 or unbound2.sum() < 10:
+                continue
+            d = matching.distance_table(
+                desc1, jnp.asarray(self.map.kf_desc[k2]),
+                jnp.asarray(unbound1), jnp.asarray(unbound2),
+            )
+            # epipolar gate
+            F12 = triangulation.fundamental_from_poses(K1, K1, T1, T2)
+            uv2 = self.map.kf_uv[k2]
+            ep_d2 = triangulation.epipolar_distance_sq(
+                F12, jnp.asarray(uv1)[:, None, :], jnp.asarray(uv2)[None, :, :]
+            )
+            sigma2 = 1.2 ** (2 * self.map.kf_octave[k2].astype(np.float32))
+            gate = np.asarray(ep_d2) < 3.84 * sigma2[None, :]
+            d = jnp.where(jnp.asarray(gate), d, 256.0)
+            idx, dist = matching.mutual_best_match(d, th=matching.TH_LOW, ratio=0.8, check_rotation=False)
+            idx = np.asarray(idx)
+            f1 = np.nonzero(idx >= 0)[0]
+            if f1.size == 0:
+                continue
+            f2 = idx[f1]
+            xn1 = self._unproject_dirs(uv1[f1])
+            xn2 = self._unproject_dirs(uv2[f2])
+            T1b = jnp.broadcast_to(T1, (len(f1), 7))
+            T2b = jnp.broadcast_to(T2, (len(f1), 7))
+            cosp = np.asarray(triangulation.parallax_cos(xn1, xn2, T1b, T2b))
+            X = np.asarray(triangulation.triangulate_dlt(xn1, xn2, T1b, T2b))
+            ok = (cosp > 0) & (cosp < 0.9998) & np.isfinite(X).all(axis=1)
+            ok &= self._reproj_ok(X, T1, uv1[f1], self.map.kf_octave[kf_id][f1])
+            ok &= self._reproj_ok(X, T2, uv2[f2], self.map.kf_octave[k2][f2])
+            sel = np.nonzero(ok)[0]
+            if sel.size == 0:
+                continue
+            f1s, f2s = f1[sel], f2[sel]
+            center = np.asarray(lie.se3_trans(lie.se3_inv(T1)))
+            vecs = X[sel] - center[None, :]
+            dd = np.linalg.norm(vecs, axis=-1)
+            normals = vecs / np.maximum(dd[:, None], 1e-9)
+            octv = self.map.kf_octave[kf_id][f1s]
+            sf = self.cfg.orb.scale_factor ** octv.astype(np.float32)
+            ids = self.map.add_landmarks(
+                X[sel].astype(np.float32), self.map.kf_desc[kf_id][f1s], kf_id, f1s,
+                normals.astype(np.float32), (dd * sf).astype(np.float32),
+                (dd * sf / self.cfg.orb.scale_factor ** (self.cfg.orb.n_levels - 1)).astype(np.float32),
+            )
+            self.map.kf_lm_idx[k2, f2s] = ids
+            unbound1 = (self.map.kf_lm_idx[kf_id] < 0) & self.map.kf_feat_valid[kf_id]
+            created_all.append(ids)
+        if created_all:
+            self.recent_lm.append((np.concatenate(created_all), self.map.n_kf))
+
+    def _unproject_dirs(self, uv: np.ndarray) -> jnp.ndarray:
+        x = (uv[:, 0] - self.cam.cx) / self.cam.fx
+        y = (uv[:, 1] - self.cam.cy) / self.cam.fy
+        return jnp.asarray(np.stack([x, y, np.ones_like(x)], axis=1).astype(np.float32))
+
+    def _reproj_ok(self, X, Tcw, uv, octave, chi2=5.991):
+        pc = np.asarray(lie.se3_apply(Tcw, jnp.asarray(X.astype(np.float32))))
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = self.cam.fx * pc[:, 0] / z + self.cam.cx
+            v = self.cam.fy * pc[:, 1] / z + self.cam.cy
+        err2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+        sigma2 = 1.2 ** (2 * octave.astype(np.float32))
+        return (z > 0.1) & np.nan_to_num(err2 < chi2 * sigma2, nan=False)
+
+    # ------------------------------------------------------------------
+    def local_bundle_adjustment(self, kf_id: int, iterations: int = 10):
+        """Assemble the covisibility window and run the Schur BA
+        (reference ``Optimizer::LocalBundleAdjustment`` semantics: current
+        KF + covisible neighbors optimized, their landmarks, plus fixed
+        observer keyframes; writeback under map version bump)."""
+        w = self.map.covisibility_weights(kf_id)
+        order = np.argsort(-w)
+        opt_ids = [kf_id] + [int(k) for k in order if w[k] > 0][: BA_POSES_CAP // 2 - 1]
+        opt_set = np.array(opt_ids, np.int64)
+
+        tbl = self.map.kf_lm_idx[opt_set]
+        lm_ids = np.unique(tbl[tbl >= 0])
+        lm_ids = lm_ids[self.map.lm_valid[lm_ids]][:BA_LM_CAP]
+        if lm_ids.size < 30:
+            return
+
+        # fixed observers: other KFs seeing these landmarks
+        mask = np.zeros(self.map.capacity_lm, bool)
+        mask[lm_ids] = True
+        valid_kfs = self.map.valid_kf_ids()
+        sees = (
+            (mask[np.clip(self.map.kf_lm_idx[valid_kfs], 0, None)] & (self.map.kf_lm_idx[valid_kfs] >= 0))
+            .sum(axis=1)
+        )
+        fixed_pool = [int(k) for k, s in zip(valid_kfs, sees) if s > 0 and k not in set(opt_ids)]
+        n_fixed_slots = BA_POSES_CAP - len(opt_set)
+        fixed_set = np.array(fixed_pool[:n_fixed_slots], np.int64)
+        window = np.concatenate([opt_set, fixed_set])
+        # gauge: if nothing is fixed, pin the oldest pose in the window
+        pose_fixed = np.zeros(BA_POSES_CAP, bool)
+        pose_fixed[len(opt_set):] = True
+        if fixed_set.size == 0:
+            anchor = int(np.argmin(self.map.kf_frame_id[window]))
+            pose_fixed[anchor] = True
+
+        Kw = BA_POSES_CAP
+        poses = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (Kw, 1))
+        pose_valid = np.zeros(Kw, bool)
+        poses[: len(window)] = self.map.kf_pose[window]
+        pose_valid[: len(window)] = True
+
+        Mw = BA_LM_CAP
+        obs_kf, obs_feat, obs_mask, obs_uv, obs_ur = self.map.gather_observations(
+            window, lm_ids, BA_OBS_CAP
+        )
+        lms = np.zeros((Mw, 3), np.float32)
+        lm_valid = np.zeros(Mw, bool)
+        lms[: lm_ids.size] = self.map.lm_pos[lm_ids]
+        lm_valid[: lm_ids.size] = True
+
+        def pad_obs(a, fill=0):
+            out = np.full((Mw,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        octv = np.zeros_like(obs_kf)
+        kf_global = window[np.clip(obs_kf, 0, len(window) - 1)]
+        octv = self.map.kf_octave[kf_global, obs_feat].astype(np.int32)
+        inv_s2 = self.inv_sigma2[np.clip(octv, 0, len(self.inv_sigma2) - 1)].astype(np.float32)
+
+        problem = local_ba.BAProblem(
+            poses=jnp.asarray(poses),
+            pose_fixed=jnp.asarray(pose_fixed),
+            pose_valid=jnp.asarray(pose_valid),
+            landmarks=jnp.asarray(pad_obs(self.map.lm_pos[lm_ids])),
+            lm_valid=jnp.asarray(lm_valid),
+            obs_kf=jnp.asarray(pad_obs(obs_kf)),
+            obs_uv=jnp.asarray(pad_obs(obs_uv)),
+            obs_ur=jnp.asarray(pad_obs(obs_ur, -1.0)),
+            obs_inv_sigma2=jnp.asarray(pad_obs(inv_s2)),
+            obs_mask=jnp.asarray(pad_obs(obs_mask)),
+        )
+        res = local_ba.bundle_adjust(problem, self.cam, iterations=iterations)
+
+        # writeback (the reference takes mMutexMapUpdate; here it is just
+        # array stores bumping the version)
+        new_poses = np.asarray(res.poses, np.float32)
+        self.map.kf_pose[window] = new_poses[: len(window)]
+        self.map.lm_pos[lm_ids] = np.asarray(res.landmarks, np.float32)[: lm_ids.size]
+
+        # drop observations classified outlier (unbind feature slots)
+        inl = np.asarray(res.obs_inlier)[: lm_ids.size]
+        bad_obs = (~inl) & obs_mask
+        if bad_obs.any():
+            mrows, dcols = np.nonzero(bad_obs)
+            kfg = window[obs_kf[mrows, dcols]]
+            self.map.kf_lm_idx[kfg, obs_feat[mrows, dcols]] = -1
+        self.map.version += 1
+
+    # ------------------------------------------------------------------
+    def _keyframe_culling(self, kf_id: int):
+        """Reference ``KeyFrameCulling`` (LocalMapping.cc:902-1054): a
+        covisible keyframe is redundant if ≥ 90% of its landmarks are seen
+        by ≥ 3 other keyframes at the same or finer scale."""
+        neighbors = self.map.best_covisible(kf_id, 20, min_weight=15)
+        if neighbors.size == 0:
+            return
+        counts = self.map.observation_counts()
+        for k in neighbors:
+            if k == 0:  # keep the origin keyframe
+                continue
+            ids = self.map.kf_lm_idx[k]
+            sel = ids >= 0
+            lm = ids[sel]
+            if lm.size < 30:
+                continue
+            redundant = (counts[lm] >= 4).mean()  # self + 3 others
+            if redundant > 0.9:
+                self.map.remove_keyframe(int(k))

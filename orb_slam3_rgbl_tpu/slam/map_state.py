@@ -1,0 +1,299 @@
+"""Map state: fixed-capacity struct-of-arrays replacing the reference's
+pointer-graph Atlas/Map/KeyFrame/MapPoint (``Atlas.h``, ``Map.h``,
+``KeyFrame.h``, ``MapPoint.h``) and all of their mutexes.
+
+Design (SURVEY.md §7): the map is plain arrays with validity masks.
+Keyframe features stay resident; landmark ↔ feature binding is the
+(K, N) ``kf_lm_idx`` table (landmark id per feature slot, −1 unbound) —
+the exact inverse of the reference's ``MapPoint::mObservations`` map,
+chosen because every consumer (BA assembly, covisibility, descriptor
+updates) is a dense gather/segment-sum over it.
+
+Host-side numpy is the system of record (culling/compaction are cheap
+masked writes); jitted device kernels receive fixed-size views. No locks:
+the tracking/mapping/loop-closing "threads" of the reference become
+phases that each produce a new consistent version (the ``version``
+counter mirrors ``Map::GetMapChangeIndex``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from orb_slam3_rgbl_tpu.geometry import lie
+
+INVALID = -1
+
+
+@dataclasses.dataclass
+class MapState:
+    # --- keyframes ---------------------------------------------------------
+    kf_pose: np.ndarray       # (K, 7) Tcw
+    kf_valid: np.ndarray      # (K,) bool
+    kf_timestamp: np.ndarray  # (K,) f64
+    kf_frame_id: np.ndarray   # (K,) i64 — source frame index
+    kf_uv: np.ndarray         # (K, N, 2) f32
+    kf_octave: np.ndarray     # (K, N) i16
+    kf_desc: np.ndarray       # (K, N, 8) u32
+    kf_depth: np.ndarray      # (K, N) f32 (−1 unknown)
+    kf_ur: np.ndarray         # (K, N) f32 pseudo-stereo (−1 mono)
+    kf_feat_valid: np.ndarray  # (K, N) bool
+    kf_lm_idx: np.ndarray     # (K, N) i32 → landmark id or −1
+    # --- landmarks ---------------------------------------------------------
+    lm_pos: np.ndarray        # (M, 3) f32 world
+    lm_valid: np.ndarray      # (M,) bool
+    lm_desc: np.ndarray       # (M, 8) u32 distinctive descriptor
+    lm_normal: np.ndarray     # (M, 3) f32 mean viewing direction
+    lm_max_dist: np.ndarray   # (M,) f32 scale-invariance band
+    lm_min_dist: np.ndarray   # (M,)
+    lm_ref_kf: np.ndarray     # (M,) i32 creating keyframe
+    lm_first_kf: np.ndarray   # (M,) i32 id of first observing KF (culling)
+    lm_visible: np.ndarray    # (M,) i32 — times predicted visible
+    lm_found: np.ndarray      # (M,) i32 — times actually matched
+    # --- counters ----------------------------------------------------------
+    n_kf: int = 0
+    n_lm: int = 0
+    version: int = 0
+    map_id: int = 0           # Atlas multi-map id this state belongs to
+
+    # -----------------------------------------------------------------------
+    @staticmethod
+    def create(max_kf: int, max_lm: int, n_feat: int, map_id: int = 0) -> "MapState":
+        K, M, N = max_kf, max_lm, n_feat
+        return MapState(
+            kf_pose=np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (K, 1)),
+            kf_valid=np.zeros(K, bool),
+            kf_timestamp=np.zeros(K, np.float64),
+            kf_frame_id=np.zeros(K, np.int64),
+            kf_uv=np.zeros((K, N, 2), np.float32),
+            kf_octave=np.zeros((K, N), np.int16),
+            kf_desc=np.zeros((K, N, 8), np.uint32),
+            kf_depth=np.full((K, N), -1.0, np.float32),
+            kf_ur=np.full((K, N), -1.0, np.float32),
+            kf_feat_valid=np.zeros((K, N), bool),
+            kf_lm_idx=np.full((K, N), INVALID, np.int32),
+            lm_pos=np.zeros((M, 3), np.float32),
+            lm_valid=np.zeros(M, bool),
+            lm_desc=np.zeros((M, 8), np.uint32),
+            lm_normal=np.zeros((M, 3), np.float32),
+            lm_max_dist=np.zeros(M, np.float32),
+            lm_min_dist=np.zeros(M, np.float32),
+            lm_ref_kf=np.full(M, INVALID, np.int32),
+            lm_first_kf=np.full(M, INVALID, np.int32),
+            lm_visible=np.ones(M, np.int32),
+            lm_found=np.ones(M, np.int32),
+            map_id=map_id,
+        )
+
+    @property
+    def capacity_kf(self) -> int:
+        return self.kf_pose.shape[0]
+
+    @property
+    def capacity_lm(self) -> int:
+        return self.lm_pos.shape[0]
+
+    @property
+    def n_features(self) -> int:
+        return self.kf_uv.shape[1]
+
+    def valid_kf_ids(self) -> np.ndarray:
+        return np.nonzero(self.kf_valid)[0]
+
+    # --- keyframe insertion -------------------------------------------------
+    def add_keyframe(self, pose, uv, octave, desc, depth, ur, feat_valid, lm_idx,
+                     timestamp: float, frame_id: int) -> int:
+        k = self.n_kf
+        if k >= self.capacity_kf:
+            raise RuntimeError("keyframe capacity exhausted")
+        self.kf_pose[k] = pose
+        self.kf_valid[k] = True
+        self.kf_timestamp[k] = timestamp
+        self.kf_frame_id[k] = frame_id
+        self.kf_uv[k] = uv
+        self.kf_octave[k] = octave
+        self.kf_desc[k] = desc
+        self.kf_depth[k] = depth
+        self.kf_ur[k] = ur
+        self.kf_feat_valid[k] = feat_valid
+        self.kf_lm_idx[k] = lm_idx
+        self.n_kf += 1
+        self.version += 1
+        return k
+
+    # --- landmark insertion -------------------------------------------------
+    def add_landmarks(self, pos: np.ndarray, desc: np.ndarray, kf_id: int,
+                      feat_idx: np.ndarray, normal: np.ndarray,
+                      max_dist: np.ndarray, min_dist: np.ndarray) -> np.ndarray:
+        """Batch-create landmarks observed by (kf_id, feat_idx). Returns ids."""
+        n = pos.shape[0]
+        ids = np.arange(self.n_lm, self.n_lm + n, dtype=np.int32)
+        if self.n_lm + n > self.capacity_lm:
+            raise RuntimeError("landmark capacity exhausted")
+        self.lm_pos[ids] = pos
+        self.lm_valid[ids] = True
+        self.lm_desc[ids] = desc
+        self.lm_normal[ids] = normal
+        self.lm_max_dist[ids] = max_dist
+        self.lm_min_dist[ids] = min_dist
+        self.lm_ref_kf[ids] = kf_id
+        self.lm_first_kf[ids] = kf_id
+        self.lm_visible[ids] = 1
+        self.lm_found[ids] = 1
+        self.kf_lm_idx[kf_id, feat_idx] = ids
+        self.n_lm += n
+        self.version += 1
+        return ids
+
+    # --- covisibility -------------------------------------------------------
+    def covisibility_weights(self, kf_id: int) -> np.ndarray:
+        """Shared-landmark counts between kf_id and every other keyframe
+        (reference ``KeyFrame::UpdateConnections``: weight = #shared
+        MapPoints, edge kept if ≥ 15)."""
+        lms = self.kf_lm_idx[kf_id]
+        lms = lms[lms >= 0]
+        if lms.size == 0:
+            return np.zeros(self.capacity_kf, np.int32)
+        mask = np.zeros(self.capacity_lm, bool)
+        mask[lms] = True
+        shared = mask[np.clip(self.kf_lm_idx, 0, self.capacity_lm - 1)] & (self.kf_lm_idx >= 0)
+        w = shared.sum(axis=1).astype(np.int32)
+        w[kf_id] = 0
+        w[~self.kf_valid] = 0
+        return w
+
+    def best_covisible(self, kf_id: int, n: int, min_weight: int = 15) -> np.ndarray:
+        w = self.covisibility_weights(kf_id)
+        order = np.argsort(-w)
+        out = order[: n]
+        return out[w[out] >= min_weight]
+
+    # --- observation table for BA ------------------------------------------
+    def gather_observations(
+        self, kf_ids: np.ndarray, lm_ids: np.ndarray, max_obs: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Build the landmark-major (M, D) observation table for BAProblem.
+
+        Args:
+          kf_ids: (Kw,) keyframes in the window (local index = position).
+          lm_ids: (Mw,) landmark ids.
+          max_obs: D — cap of observations per landmark inside the window.
+
+        Returns (obs_kf_local (Mw, D), obs_feat (Mw, D), obs_mask,
+        obs_uv (Mw, D, 2), obs_ur (Mw, D)).
+        """
+        Kw, Mw, D = len(kf_ids), len(lm_ids), max_obs
+        lm_slot = np.full(self.capacity_lm + 1, -1, np.int64)
+        lm_slot[lm_ids] = np.arange(Mw)
+
+        obs_kf = np.zeros((Mw, D), np.int32)
+        obs_feat = np.zeros((Mw, D), np.int32)
+        obs_mask = np.zeros((Mw, D), bool)
+        obs_uv = np.zeros((Mw, D, 2), np.float32)
+        obs_ur = np.full((Mw, D), -1.0, np.float32)
+        fill = np.zeros(Mw, np.int32)
+
+        for local_k, k in enumerate(kf_ids):
+            rows = self.kf_lm_idx[k]
+            feat_idx = np.nonzero(rows >= 0)[0]
+            slots = lm_slot[rows[feat_idx]]
+            sel = slots >= 0
+            feat_idx, slots = feat_idx[sel], slots[sel]
+            d = fill[slots]
+            ok = d < D
+            feat_idx, slots, d = feat_idx[ok], slots[ok], d[ok]
+            obs_kf[slots, d] = local_k
+            obs_feat[slots, d] = feat_idx
+            obs_mask[slots, d] = True
+            obs_uv[slots, d] = self.kf_uv[k, feat_idx]
+            obs_ur[slots, d] = self.kf_ur[k, feat_idx]
+            fill[slots] = d + 1
+        return obs_kf, obs_feat, obs_mask, obs_uv, obs_ur
+
+    # --- landmark maintenance ----------------------------------------------
+    def observation_counts(self, lm_ids: Optional[np.ndarray] = None) -> np.ndarray:
+        """Number of keyframes observing each landmark (vectorized scan of
+        the binding table over valid keyframes)."""
+        idx = self.kf_lm_idx[self.kf_valid]
+        flat = idx[idx >= 0]
+        counts = np.bincount(flat, minlength=self.capacity_lm)
+        return counts if lm_ids is None else counts[lm_ids]
+
+    def remove_landmarks(self, lm_ids: np.ndarray):
+        """SetBadFlag equivalent: unbind everywhere + invalidate."""
+        if len(lm_ids) == 0:
+            return
+        self.lm_valid[lm_ids] = False
+        bad = np.zeros(self.capacity_lm + 1, bool)
+        bad[lm_ids] = True
+        hit = (self.kf_lm_idx >= 0) & bad[np.clip(self.kf_lm_idx, 0, self.capacity_lm - 1)]
+        self.kf_lm_idx[hit] = INVALID
+        self.version += 1
+
+    def remove_keyframe(self, kf_id: int):
+        """KeyFrame culling: drop the KF and its bindings (landmarks keep
+        other observations; observation counts recompute lazily)."""
+        self.kf_valid[kf_id] = False
+        self.kf_lm_idx[kf_id] = INVALID
+        self.kf_feat_valid[kf_id] = False
+        self.version += 1
+
+    def update_landmark_stats(self, kf_ids: np.ndarray):
+        """Refresh distinctive descriptors + normals + depth bands for
+        landmarks observed by the given keyframes.
+
+        Distinctive descriptor = observation whose max Hamming distance to
+        the other observations is minimal (reference
+        ``MapPoint::ComputeDistinctiveDescriptors`` uses min-median; min-max
+        is equivalent in effect and cheaply batchable). Normal = mean of
+        unit camera→point rays; band from reference-KF distance and octave
+        (``MapPoint::UpdateNormalAndDepth``).
+        """
+        lm_set = np.unique(self.kf_lm_idx[kf_ids][self.kf_lm_idx[kf_ids] >= 0])
+        if lm_set.size == 0:
+            return
+        # collect up to 12 observations per landmark
+        obs_kf, obs_feat, obs_mask, _, _ = self.gather_observations(
+            self.valid_kf_ids(), lm_set, max_obs=12
+        )
+        kf_global = self.valid_kf_ids()[obs_kf]
+        descs = self.kf_desc[kf_global, obs_feat]          # (Mw, D, 8)
+        # pairwise hamming (numpy popcount via uint8 view)
+        b = np.unpackbits(descs.view(np.uint8), axis=-1)   # (Mw, D, 256)
+        dist = (b[:, :, None, :] != b[:, None, :, :]).sum(-1)  # (Mw, D, D)
+        big = 1 << 14
+        dist = np.where(obs_mask[:, :, None] & obs_mask[:, None, :], dist, big)
+        worst = np.where(obs_mask, dist.max(axis=2), big)
+        best_obs = worst.argmin(axis=1)
+        rows = np.arange(len(lm_set))
+        self.lm_desc[lm_set] = descs[rows, best_obs]
+
+        # normals + distance bands
+        cam_centers = lie_np_centers(self.kf_pose[kf_global])  # (Mw, D, 3)
+        rays = self.lm_pos[lm_set][:, None, :] - cam_centers
+        norms = np.linalg.norm(rays, axis=-1, keepdims=True)
+        rays = np.where(norms > 1e-9, rays / norms, 0.0)
+        cnt = np.maximum(obs_mask.sum(1, keepdims=True), 1)
+        self.lm_normal[lm_set] = (rays * obs_mask[..., None]).sum(1) / cnt
+
+        ref_kf = self.lm_ref_kf[lm_set]
+        ref_center = lie_np_centers(self.kf_pose[ref_kf])
+        d_ref = np.linalg.norm(self.lm_pos[lm_set] - ref_center, axis=-1)
+        # scale band: levelScaleFactor of the observing octave
+        # (approximate with octave of the ref observation = first obs)
+        oct0 = self.kf_octave[kf_global[rows, 0], obs_feat[rows, 0]]
+        sf = 1.2 ** oct0.astype(np.float32)
+        self.lm_max_dist[lm_set] = d_ref * sf
+        self.lm_min_dist[lm_set] = self.lm_max_dist[lm_set] / (1.2 ** 7)
+
+
+def lie_np_centers(poses: np.ndarray) -> np.ndarray:
+    """Camera centers Ow = −Rᵀt from (…, 7) Tcw arrays (numpy)."""
+    import jax.numpy as jnp
+
+    T = jnp.asarray(poses)
+    centers = lie.se3_trans(lie.se3_inv(T))
+    return np.asarray(centers)

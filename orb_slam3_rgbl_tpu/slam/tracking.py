@@ -1,0 +1,477 @@
+"""Per-frame tracking: state machine + jitted compute steps.
+
+Replaces the reference ``Tracking`` (``Tracking.cc:1828-2367``). Control
+flow (state transitions, keyframe policy) is host Python operating on a
+handful of scalars; all per-feature math — projection, windowed matching,
+robust pose optimization — is jitted with fixed shapes (SURVEY.md §7
+"keep decisions on host with scalars pulled once per frame").
+
+States mirror ``Tracking.h:123-131``: NO_IMAGES_YET → NOT_INITIALIZED →
+OK / RECENTLY_LOST / LOST. Pipeline per frame (state OK):
+TrackWithMotionModel (``Tracking.cc:2888``) → TrackLocalMap
+(``Tracking.cc:2983``) → NeedNewKeyFrame/CreateNewKeyFrame
+(``Tracking.cc:3098/3250``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from orb_slam3_rgbl_tpu.config import SlamConfig
+from orb_slam3_rgbl_tpu.geometry import lie
+from orb_slam3_rgbl_tpu.ops import matching
+from orb_slam3_rgbl_tpu.optim import pose_opt
+from orb_slam3_rgbl_tpu.slam.frame import FrameFeatures, inv_scale_sigma2
+from orb_slam3_rgbl_tpu.slam.map_state import MapState
+
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+OK = 2
+RECENTLY_LOST = 3
+LOST = 4
+
+STATE_NAMES = {0: "NO_IMAGES_YET", 1: "NOT_INITIALIZED", 2: "OK", 3: "RECENTLY_LOST", 4: "LOST"}
+
+LOCAL_LM_CAP = 8192   # local-map landmark budget per frame
+LOCAL_KF_CAP = 80     # reference caps local keyframes at 80 (Tracking.cc:3543)
+
+
+@dataclasses.dataclass
+class TrackResult:
+    pose: np.ndarray          # (7,) Tcw
+    state: int
+    n_inliers: int
+    created_kf: bool
+    timestamp: float
+
+
+class Tracker:
+    def __init__(self, config: SlamConfig, map_state: MapState):
+        self.cfg = config
+        self.cam = config.camera
+        self.map = map_state
+        self.state = NO_IMAGES_YET
+        self.n_feat = None  # set on first frame
+
+        self.cur_pose = np.asarray(lie.se3_identity(), np.float32)
+        self.last_pose: Optional[np.ndarray] = None
+        self.velocity: Optional[np.ndarray] = None   # T_cur_last
+        self.last_feats: Optional[FrameFeatures] = None
+        self.last_lm_idx: Optional[np.ndarray] = None
+        self.ref_kf: int = -1
+        self.last_kf_frame: int = -9999
+        self.last_reloc_frame: int = -9999
+        self.frame_id: int = -1
+        self.inv_sigma2 = np.asarray(
+            inv_scale_sigma2(config.orb.n_levels, config.orb.scale_factor)
+        )
+        self.scale_factors = np.asarray(
+            [config.orb.scale_factor ** l for l in range(config.orb.n_levels)], np.float32
+        )
+        # depth threshold in meters: mThDepth = bf · ThDepth / fx
+        # (reference Tracking.cc ParseCamParamFile)
+        self.th_depth_m = self.cam.bf * self.cam.th_depth / self.cam.fx
+        # trajectory log: relative pose to reference KF per frame
+        # (reference Tracking.cc:2336-2360)
+        self.traj_rel: list = []
+        self.traj_ref_kf: list = []
+        self.traj_time: list = []
+        self.traj_lost: list = []
+        self.min_frames = 0
+        self.max_frames = int(config.fps)
+
+    # ------------------------------------------------------------------
+    def track(self, feats: FrameFeatures, timestamp: float) -> TrackResult:
+        self.frame_id += 1
+        if self.n_feat is None:
+            self.n_feat = int(feats.uv.shape[0])
+
+        created_kf = False
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            ok = self._stereo_initialization(feats, timestamp)
+            self.state = OK if ok else NOT_INITIALIZED
+            n_inl = int(np.asarray(feats.valid).sum()) if ok else 0
+            created_kf = ok
+        else:
+            ok, n_inl = self._track_frame(feats, timestamp)
+            if ok:
+                self.state = OK
+                created_kf = self._maybe_insert_keyframe(feats, timestamp, n_inl)
+            else:
+                if self.state == OK:
+                    self.state = RECENTLY_LOST
+                elif self.state == RECENTLY_LOST:
+                    self.state = LOST
+
+        self._log_trajectory(timestamp)
+        self._update_last(feats)
+        return TrackResult(
+            pose=self.cur_pose.copy(), state=self.state, n_inliers=n_inl,
+            created_kf=created_kf, timestamp=timestamp,
+        )
+
+    # ------------------------------------------------------------------
+    def _stereo_initialization(self, feats: FrameFeatures, timestamp: float) -> bool:
+        """Reference ``Tracking::StereoInitialization`` (Tracking.cc:2369):
+        need ≥ 500 features; create KF0 at identity + landmarks from every
+        feature with positive depth."""
+        valid = np.asarray(feats.valid)
+        depth = np.asarray(feats.depth)
+        if valid.sum() < 500:
+            return False
+        self.cur_pose = np.asarray(lie.se3_identity(), np.float32)
+        has_depth = valid & (depth > 0)
+        feat_idx = np.nonzero(has_depth)[0]
+        uv = np.asarray(feats.uv)
+        rays = self._unproject(uv[feat_idx], depth[feat_idx], self.cur_pose)
+        lm_idx = np.full(self.n_feat, -1, np.int32)
+
+        kf_id = self.map.add_keyframe(
+            self.cur_pose, uv, np.asarray(feats.octave, np.int16),
+            np.asarray(feats.desc), depth, np.asarray(feats.u_right),
+            valid, lm_idx, timestamp, self.frame_id,
+        )
+        desc = np.asarray(feats.desc)[feat_idx]
+        centers = rays - 0.0  # camera at origin: ray == position
+        normals = rays / np.maximum(np.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
+        octv = np.asarray(feats.octave)[feat_idx]
+        dist = np.linalg.norm(rays, axis=-1)
+        sf = self.scale_factors[np.clip(octv, 0, len(self.scale_factors) - 1)]
+        self.map.add_landmarks(
+            rays.astype(np.float32), desc, kf_id, feat_idx, normals.astype(np.float32),
+            (dist * sf).astype(np.float32),
+            (dist * sf / self.scale_factors[-1] / self.cfg.orb.scale_factor).astype(np.float32),
+        )
+        self.ref_kf = kf_id
+        self.last_kf_frame = self.frame_id
+        return True
+
+    # ------------------------------------------------------------------
+    def _track_frame(self, feats: FrameFeatures, timestamp: float):
+        """Motion-model (or reference-KF) tracking then local-map
+        refinement. Returns (ok, n_inliers)."""
+        lm_idx = None
+        if self.velocity is not None and self.state == OK:
+            lm_idx, n = self._track_with_motion_model(feats, th=15.0)
+            if n < 20:
+                lm_idx, n = self._track_with_motion_model(feats, th=30.0)
+            if n < 20:
+                lm_idx = None
+        if lm_idx is None:
+            lm_idx, n = self._track_reference_keyframe(feats)
+            if n < 10:
+                return False, 0
+
+        lm_idx, n_inl = self._track_local_map(feats, lm_idx)
+        self.cur_lm_idx = lm_idx
+        # acceptance (reference Tracking.cc:3064-3096): ≥ 30 inliers
+        # (50 right after relocalization)
+        need = 50 if self.frame_id < self.last_reloc_frame + self.max_frames else 30
+        return n_inl >= need, n_inl
+
+    # ------------------------------------------------------------------
+    def _predict_pose(self) -> np.ndarray:
+        if self.velocity is None or self.last_pose is None:
+            return self.cur_pose
+        return np.asarray(
+            lie.se3_mul(jnp.asarray(self.velocity), jnp.asarray(self.last_pose)),
+            np.float32,
+        )
+
+    def _track_with_motion_model(self, feats: FrameFeatures, th: float):
+        """Project last frame's landmarks with the constant-velocity
+        prediction and match in windows (reference Tracking.cc:2888,
+        th=15 for RGBD-like sensors, doubled on retry)."""
+        pred = self._predict_pose()
+        lm_ids = self.last_lm_idx
+        sel = lm_ids >= 0
+        sel &= self.map.lm_valid[np.clip(lm_ids, 0, None)]
+        ids = lm_ids[sel]
+        if ids.size < 10:
+            return None, 0
+        cap = self.n_feat
+        P = np.zeros((cap, 3), np.float32)
+        Pdesc = np.zeros((cap, 8), np.uint32)
+        Poct = np.zeros(cap, np.int32)
+        Pvalid = np.zeros(cap, bool)
+        m = min(ids.size, cap)
+        P[:m] = self.map.lm_pos[ids[:m]]
+        Pdesc[:m] = self.map.lm_desc[ids[:m]]
+        Poct[:m] = np.asarray(self.last_feats.octave)[np.nonzero(sel)[0][:m]]
+        Pvalid[:m] = True
+        lm_idx, n = self._match_and_bind(feats, pred, P, Pdesc, Poct, Pvalid,
+                                         ids_global=ids[:m], th=th)
+        if n < 10:
+            return lm_idx, n
+        # pose optimization on the bindings
+        pose, n_inl, inliers = self._optimize_pose(feats, lm_idx, pred)
+        self.cur_pose = pose
+        lm_idx = np.where(inliers, lm_idx, -1)
+        return lm_idx, int(n_inl)
+
+    def _track_reference_keyframe(self, feats: FrameFeatures):
+        """Brute-force descriptor match against the reference keyframe
+        (reference Tracking.cc:2754 uses BoW-accelerated matching; the MXU
+        distance table makes full 2000×2000 cheap)."""
+        k = self.ref_kf
+        if k < 0:
+            return np.full(self.n_feat, -1, np.int32), 0
+        kf_desc = jnp.asarray(self.map.kf_desc[k])
+        kf_valid = jnp.asarray(self.map.kf_lm_idx[k] >= 0)
+        d = matching.distance_table(feats.desc, kf_desc, feats.valid, kf_valid)
+        idx, dist = matching.mutual_best_match(
+            d, feats.angle, jnp.zeros(kf_desc.shape[0]), th=matching.TH_LOW, ratio=0.7,
+            check_rotation=False,
+        )
+        idx = np.asarray(idx)
+        lm_idx = np.where(idx >= 0, self.map.kf_lm_idx[k][np.clip(idx, 0, None)], -1).astype(np.int32)
+        lm_idx = np.where((lm_idx >= 0) & self.map.lm_valid[np.clip(lm_idx, 0, None)], lm_idx, -1)
+        n = int((lm_idx >= 0).sum())
+        if n < 10:
+            return lm_idx, n
+        init = self.last_pose if self.last_pose is not None else self.cur_pose
+        pose, n_inl, inliers = self._optimize_pose(feats, lm_idx, init)
+        self.cur_pose = pose
+        lm_idx = np.where(inliers, lm_idx, -1)
+        return lm_idx, int(n_inl)
+
+    # ------------------------------------------------------------------
+    def _track_local_map(self, feats: FrameFeatures, lm_idx: np.ndarray):
+        """Expand to the covisibility-local map and re-optimize
+        (reference ``TrackLocalMap`` Tracking.cc:2983: UpdateLocalMap +
+        SearchLocalPoints + PoseOptimization)."""
+        local_kfs = self._local_keyframes(lm_idx)
+        local_lms = self._local_landmarks(local_kfs, exclude=lm_idx)
+
+        if local_lms.size > 0:
+            cap = LOCAL_LM_CAP
+            P = np.zeros((cap, 3), np.float32)
+            Pdesc = np.zeros((cap, 8), np.uint32)
+            Poct = np.zeros(cap, np.int32)
+            Pvalid = np.zeros(cap, bool)
+            m = min(local_lms.size, cap)
+            sel = local_lms[:m]
+            P[:m] = self.map.lm_pos[sel]
+            Pdesc[:m] = self.map.lm_desc[sel]
+            # predicted octave from distance (MapPoint::PredictScale)
+            centers = P[:m] - np.asarray(
+                lie.se3_trans(lie.se3_inv(jnp.asarray(self.cur_pose))))[None, :]
+            dist = np.linalg.norm(centers, axis=-1)
+            ratio = self.map.lm_max_dist[sel] / np.maximum(dist, 1e-6)
+            Poct[:m] = np.clip(
+                np.ceil(np.log(np.maximum(ratio, 1e-6)) / np.log(self.cfg.orb.scale_factor)),
+                0, self.cfg.orb.n_levels - 1,
+            ).astype(np.int32)
+            Pvalid[:m] = True
+            # visibility bookkeeping
+            self.map.lm_visible[sel] += 1
+            extra_idx, _ = self._match_and_bind(
+                feats, self.cur_pose, P, Pdesc, Poct, Pvalid, ids_global=sel,
+                th=4.0, exclude_bound=lm_idx,
+            )
+            lm_idx = np.where(lm_idx >= 0, lm_idx, extra_idx)
+
+        pose, n_inl, inliers = self._optimize_pose(feats, lm_idx, self.cur_pose)
+        self.cur_pose = pose
+        lm_idx = np.where(inliers, lm_idx, -1)
+        found = lm_idx[lm_idx >= 0]
+        self.map.lm_found[found] += 1
+        return lm_idx, int(n_inl)
+
+    def _local_keyframes(self, lm_idx: np.ndarray) -> np.ndarray:
+        """Keyframes sharing landmarks with the current frame, ranked by
+        count (reference ``UpdateLocalKeyFrames`` Tracking.cc:3491)."""
+        ids = lm_idx[lm_idx >= 0]
+        if ids.size == 0:
+            return np.array([self.ref_kf], np.int64) if self.ref_kf >= 0 else np.zeros(0, np.int64)
+        mask = np.zeros(self.map.capacity_lm, bool)
+        mask[ids] = True
+        valid_kfs = self.map.valid_kf_ids()
+        tbl = self.map.kf_lm_idx[valid_kfs]
+        shared = (mask[np.clip(tbl, 0, None)] & (tbl >= 0)).sum(axis=1)
+        order = np.argsort(-shared)
+        sel = valid_kfs[order[:LOCAL_KF_CAP]]
+        sel = sel[shared[order[:LOCAL_KF_CAP]] > 0]
+        if sel.size:
+            # reference keyframe = most-shared
+            self.ref_kf = int(sel[0])
+        return sel
+
+    def _local_landmarks(self, kf_ids: np.ndarray, exclude: np.ndarray) -> np.ndarray:
+        if kf_ids.size == 0:
+            return np.zeros(0, np.int64)
+        tbl = self.map.kf_lm_idx[kf_ids]
+        ids = np.unique(tbl[tbl >= 0])
+        ids = ids[self.map.lm_valid[ids]]
+        bound = set(exclude[exclude >= 0].tolist())
+        if bound:
+            ids = ids[~np.isin(ids, list(bound))]
+        return ids
+
+    # ------------------------------------------------------------------
+    def _match_and_bind(self, feats, pose, P, Pdesc, Poct, Pvalid, ids_global,
+                        th: float, exclude_bound: Optional[np.ndarray] = None):
+        """Project landmark array P with `pose`, window-match against the
+        frame, return per-feature landmark bindings (N,)."""
+        pc = np.asarray(lie.se3_apply(jnp.asarray(pose), jnp.asarray(P)))
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = self.cam.fx * pc[:, 0] / z + self.cam.cx
+            v = self.cam.fy * pc[:, 1] / z + self.cam.cy
+        in_front = z > 0.1
+        in_img = (u >= 0) & (u < self.cam.width) & (v >= 0) & (v < self.cam.height)
+        Pvalid = Pvalid & in_front & np.nan_to_num(in_img, nan=False)
+        proj_uv = np.stack([np.nan_to_num(u), np.nan_to_num(v)], axis=1).astype(np.float32)
+        radius = (th * self.scale_factors[np.clip(Poct, 0, len(self.scale_factors) - 1)]).astype(np.float32)
+
+        kp_valid = np.asarray(feats.valid)
+        if exclude_bound is not None:
+            kp_valid = kp_valid & (exclude_bound < 0)
+        idx, dist = matching.windowed_projection_match(
+            jnp.asarray(proj_uv), jnp.asarray(Pvalid), jnp.asarray(Pdesc),
+            jnp.asarray(Poct), feats.uv, jnp.asarray(kp_valid), feats.desc,
+            feats.octave, jnp.asarray(radius), th=matching.TH_HIGH,
+        )
+        idx = np.asarray(idx)
+        dist = np.asarray(dist)
+        # resolve collisions feature-wise: keep the closest landmark
+        lm_idx = np.full(self.n_feat, -1, np.int32)
+        hit = np.nonzero(idx >= 0)[0]
+        if hit.size:
+            order = hit[np.argsort(dist[hit], kind="stable")]
+            feats_of = idx[order]
+            first = np.unique(feats_of, return_index=True)[1]
+            lm_idx[feats_of[first]] = ids_global[order[first]]
+        return lm_idx, int((lm_idx >= 0).sum())
+
+    def _optimize_pose(self, feats, lm_idx, init_pose):
+        bound = lm_idx >= 0
+        Xw = np.zeros((self.n_feat, 3), np.float32)
+        Xw[bound] = self.map.lm_pos[lm_idx[bound]]
+        obs = pose_opt.PoseObs(
+            Xw=jnp.asarray(Xw),
+            uv=feats.uv,
+            u_right=feats.u_right,
+            inv_sigma2=jnp.asarray(
+                self.inv_sigma2[np.clip(np.asarray(feats.octave), 0, len(self.inv_sigma2) - 1)]
+            ),
+            valid=jnp.asarray(bound) & feats.valid,
+        )
+        res = pose_opt.pose_optimize(jnp.asarray(init_pose, jnp.float32), obs, self.cam)
+        return (
+            np.asarray(res.Tcw, np.float32),
+            int(res.n_inliers),
+            np.asarray(res.inliers),
+        )
+
+    # ------------------------------------------------------------------
+    def _maybe_insert_keyframe(self, feats, timestamp, n_inl) -> bool:
+        """Keyframe policy (reference ``NeedNewKeyFrame`` Tracking.cc:3098)
+        + creation (``CreateNewKeyFrame`` Tracking.cc:3250)."""
+        if self.ref_kf < 0:
+            return False
+        ref_matches = int((self.map.kf_lm_idx[self.ref_kf] >= 0).sum())
+        depth = np.asarray(feats.depth)
+        valid = np.asarray(feats.valid)
+        close = valid & (depth > 0) & (depth < self.th_depth_m)
+        tracked_close = close & (self.cur_lm_idx >= 0)
+        non_tracked_close = close & (self.cur_lm_idx < 0)
+        need_close = (tracked_close.sum() < 100) and (non_tracked_close.sum() > 70)
+
+        th_ref = 0.75 if self.map.n_kf > 2 else 0.4
+        c1a = self.frame_id >= self.last_kf_frame + self.max_frames
+        c1b = self.frame_id >= self.last_kf_frame + self.min_frames
+        c1c = n_inl < ref_matches * 0.25 or need_close
+        c2 = (n_inl < ref_matches * th_ref or need_close) and n_inl > 15
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        self._create_keyframe(feats, timestamp)
+        return True
+
+    def _create_keyframe(self, feats, timestamp):
+        uv = np.asarray(feats.uv)
+        depth = np.asarray(feats.depth)
+        valid = np.asarray(feats.valid)
+        lm_idx = self.cur_lm_idx.copy()
+        kf_id = self.map.add_keyframe(
+            self.cur_pose, uv, np.asarray(feats.octave, np.int16),
+            np.asarray(feats.desc), depth, np.asarray(feats.u_right),
+            valid, lm_idx, timestamp, self.frame_id,
+        )
+        # create close landmarks for unbound features (reference sorts by
+        # depth, creates at least the 100 closest / all closer than ThDepth)
+        cand = np.nonzero(valid & (depth > 0) & (lm_idx < 0))[0]
+        if cand.size:
+            order = cand[np.argsort(depth[cand])]
+            keep = order[(depth[order] < self.th_depth_m) | (np.arange(order.size) < 100)]
+            if keep.size:
+                rays = self._unproject(uv[keep], depth[keep], self.cur_pose)
+                center = np.asarray(lie.se3_trans(lie.se3_inv(jnp.asarray(self.cur_pose))))
+                vecs = rays - center[None, :]
+                d = np.linalg.norm(vecs, axis=-1)
+                normals = vecs / np.maximum(d[:, None], 1e-9)
+                octv = np.asarray(feats.octave)[keep]
+                sf = self.scale_factors[np.clip(octv, 0, len(self.scale_factors) - 1)]
+                ids = self.map.add_landmarks(
+                    rays.astype(np.float32), np.asarray(feats.desc)[keep], kf_id, keep,
+                    normals.astype(np.float32), (d * sf).astype(np.float32),
+                    (d * sf / self.scale_factors[-1] / self.cfg.orb.scale_factor).astype(np.float32),
+                )
+                self.cur_lm_idx[keep] = ids
+                self.map.kf_lm_idx[kf_id, keep] = ids
+        self.ref_kf = kf_id
+        self.last_kf_frame = self.frame_id
+        self.new_kf_id = kf_id
+
+    # ------------------------------------------------------------------
+    def _unproject(self, uv: np.ndarray, depth: np.ndarray, Tcw) -> np.ndarray:
+        x = (uv[:, 0] - self.cam.cx) / self.cam.fx * depth
+        y = (uv[:, 1] - self.cam.cy) / self.cam.fy * depth
+        pc = np.stack([x, y, depth], axis=1)
+        Twc = lie.se3_inv(jnp.asarray(Tcw))
+        return np.asarray(lie.se3_apply(Twc, jnp.asarray(pc.astype(np.float32))))
+
+    def _update_last(self, feats):
+        if self.state == OK:
+            if self.last_pose is not None:
+                self.velocity = np.asarray(
+                    lie.se3_mul(jnp.asarray(self.cur_pose), lie.se3_inv(jnp.asarray(self.last_pose))),
+                    np.float32,
+                )
+            self.last_pose = self.cur_pose.copy()
+            self.last_feats = feats
+            self.last_lm_idx = getattr(self, "cur_lm_idx", np.full(self.n_feat, -1, np.int32)).copy()
+        elif self.state in (RECENTLY_LOST, LOST):
+            self.velocity = None
+
+    def _log_trajectory(self, timestamp):
+        """Relative pose to the reference keyframe, resolved at save time
+        against the (possibly BA-corrected) keyframe pose — the exact
+        scheme of ``SaveTrajectoryKITTI`` (System.cc:1348)."""
+        if self.ref_kf >= 0 and self.state in (OK, RECENTLY_LOST):
+            Tcr = lie.se3_mul(
+                jnp.asarray(self.cur_pose),
+                lie.se3_inv(jnp.asarray(self.map.kf_pose[self.ref_kf])),
+            )
+            self.traj_rel.append(np.asarray(Tcr, np.float32))
+            self.traj_ref_kf.append(self.ref_kf)
+            self.traj_time.append(timestamp)
+            self.traj_lost.append(self.state != OK)
+        else:
+            self.traj_rel.append(np.asarray(lie.se3_identity(), np.float32))
+            self.traj_ref_kf.append(max(self.ref_kf, 0))
+            self.traj_time.append(timestamp)
+            self.traj_lost.append(True)
+
+    def trajectory_world(self) -> np.ndarray:
+        """Resolve the per-frame relative log into world-frame camera
+        poses Twc (F, 7) using current keyframe poses."""
+        out = []
+        for Tcr, rk in zip(self.traj_rel, self.traj_ref_kf):
+            Tcw = lie.se3_mul(jnp.asarray(Tcr), jnp.asarray(self.map.kf_pose[rk]))
+            out.append(np.asarray(lie.se3_inv(Tcw)))
+        return np.stack(out) if out else np.zeros((0, 7), np.float32)

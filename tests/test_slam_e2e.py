@@ -1,0 +1,81 @@
+"""End-to-end SLAM engine tests on synthetic worlds (feature-level).
+
+Covers BASELINE.json config-1 semantics: depth-aided odometry with
+tracking + local mapping + local BA; ATE vs ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam3_rgbl_tpu.config import kitti_rgbl_config
+from orb_slam3_rgbl_tpu.geometry import lie, align
+from orb_slam3_rgbl_tpu.slam.system import System
+from orb_slam3_rgbl_tpu.slam import tracking as trk
+
+from synthetic_world import SyntheticWorld
+
+
+def run_sequence(rng, n_frames=60, step=0.8, yaw_rate=0.0, **render_kw):
+    cfg = kitti_rgbl_config()
+    world = SyntheticWorld(rng, cam=cfg.camera, length=n_frames * step)
+    gt = world.trajectory(n_frames, step=step, yaw_rate=yaw_rate)
+    sys = System(cfg)
+    results = []
+    for i in range(n_frames):
+        feats = world.render(gt[i], **render_kw)
+        results.append(sys.track_features(feats, timestamp=i * 0.1))
+    return sys, gt, results
+
+
+def ate(sys, gt):
+    est = sys.trajectory()  # (F, 7) Twc
+    gt_twc = np.asarray(lie.se3_inv(jnp.asarray(gt)))
+    return float(align.ate_rmse(jnp.asarray(gt_twc[:, 4:7]), jnp.asarray(est[:, 4:7])))
+
+
+class TestEndToEnd:
+    def test_straight_odometry(self, rng):
+        sys, gt, results = run_sequence(rng, n_frames=50)
+        states = [r.state for r in results]
+        assert states[0] == trk.OK  # initialized on first frame
+        assert all(s == trk.OK for s in states[1:]), [trk.STATE_NAMES[s] for s in states]
+        err = ate(sys, gt)
+        # 40 m trajectory; sub-decimeter expected with depth + BA
+        assert err < 0.15, err
+
+    def test_curved_trajectory(self, rng):
+        sys, gt, results = run_sequence(rng, n_frames=60, yaw_rate=0.01)
+        assert all(r.state == trk.OK for r in results)
+        err = ate(sys, gt)
+        assert err < 0.2, err
+
+    def test_keyframes_inserted_and_ba_ran(self, rng):
+        sys, gt, results = run_sequence(rng, n_frames=50)
+        assert sys.map.n_kf >= 3, sys.map.n_kf
+        assert sys.map.n_lm > 500
+        # map versions advance (BA writebacks happened)
+        assert sys.map.version > sys.map.n_kf
+
+    def test_tracking_survives_feature_dropout(self, rng):
+        sys, gt, results = run_sequence(rng, n_frames=40, dropout=0.35, n_feat=700)
+        ok_frames = sum(r.state == trk.OK for r in results)
+        assert ok_frames > 35
+
+    def test_mostly_mono_observations(self, rng):
+        # only 30% of features carry depth — exercises mono residuals
+        sys, gt, results = run_sequence(rng, n_frames=40, depth_frac=0.3)
+        assert all(r.state == trk.OK for r in results)
+        assert ate(sys, gt) < 0.5
+
+    def test_trajectory_formats(self, rng, tmp_path):
+        sys, gt, results = run_sequence(rng, n_frames=20)
+        kitti = tmp_path / "kitti.txt"
+        tum = tmp_path / "tum.txt"
+        sys.save_trajectory_kitti(str(kitti))
+        sys.save_trajectory_tum(str(tum))
+        rows = np.loadtxt(kitti)
+        assert rows.shape == (20, 12)
+        tum_rows = np.loadtxt(tum)
+        assert tum_rows.shape == (20, 8)
+        # first pose ≈ identity
+        np.testing.assert_allclose(rows[0].reshape(3, 4)[:, :3], np.eye(3), atol=1e-5)
