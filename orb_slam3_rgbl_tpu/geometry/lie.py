@@ -344,10 +344,10 @@ def _sim3_W(w: jax.Array, sigma: jax.Array) -> jax.Array:
     safe_denom = jnp.where(denom < 1e-12, 1.0, denom)
 
     # B-coefficient (multiplies Ω):
-    #   B = (a σ + (1 − b) θ) / (θ (σ² + θ²))  with a = s sin θ, b = s cos θ  — general
+    #   B = (σ·a/θ + (1 − b)) / (σ² + θ²)  with a = s sin θ, b = s cos θ  — general
     a_ = s * sin_t
     b_ = s * cos_t
-    B_gen = ((safe_sigma * (s * sin_t) / theta) + (1.0 - b_)) / safe_denom
+    B_gen = ((sigma * a_ / theta) + (1.0 - b_)) / safe_denom
     # θ→0 limit: B = σ≠0 ? (σ(s−1) − (s − 1 − σ s) ... use series: B ≈ (1/2) C2 with
     # t coefficient of Ω as θ→0:  B → (s(σ−1)+1)/σ²  (Eade eq. for small θ)
     B_theta0 = jnp.where(
@@ -359,7 +359,7 @@ def _sim3_W(w: jax.Array, sigma: jax.Array) -> jax.Array:
 
     # C-coefficient (multiplies Ω²):
     # C = (A − ((b−1)σ + a θ)/(σ²+θ²)) / θ²   (general)
-    C_gen = (A - ((b_ - 1.0) * safe_sigma + a_ * theta) / safe_denom) / safe_theta_sq
+    C_gen = (A - ((b_ - 1.0) * sigma + a_ * theta) / safe_denom) / safe_theta_sq
     # θ→0 limit: C = (s(σ²/2 − σ + 1) − 1)/σ³ ; additionally σ→0: 1/6 + σ/8.
     C_theta0 = jnp.where(
         small_sigma,

@@ -1,0 +1,60 @@
+"""Pose recovery from scratch (relocalization).
+
+Replaces the reference's ``MLPnPsolver`` RANSAC (``MLPnPsolver.cpp``,
+used by ``Tracking::Relocalization`` at ``Tracking.cc:3690-3692``) with a
+batched-hypothesis solver. Depth sensors (stereo/RGBD/RGBL) provide 3D
+for the query features, so hypotheses come from closed-form 3-point rigid
+alignment (camera-frame points ↔ world landmarks) — evaluated for all H
+hypotheses at once; inliers are gated by reprojection error like the
+reference (chi2 5.991·σ²).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_rgbl_tpu.geometry import lie
+from orb_slam3_rgbl_tpu.geometry.camera import PinholeCamera
+from orb_slam3_rgbl_tpu.optim.sim3 import _horn_sim3_3pt
+
+
+class PnPResult(NamedTuple):
+    Tcw: jax.Array
+    inliers: jax.Array
+    n_inliers: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "n_hypotheses"))
+def rigid_pnp_ransac(
+    p_cam: jax.Array,      # (P, 3) query-feature positions in CAMERA frame (from depth)
+    X_w: jax.Array,        # (P, 3) matched landmark world positions
+    uv: jax.Array,         # (P, 2) query keypoint pixels
+    sigma2: jax.Array,     # (P,)
+    valid: jax.Array,      # (P,) bool
+    cam: PinholeCamera,
+    key: jax.Array,
+    n_hypotheses: int = 256,
+) -> PnPResult:
+    P = p_cam.shape[0]
+    idx = jax.random.randint(key, (n_hypotheses, 3), 0, P)
+    # Tcw candidates: p_cam ≈ T · X_w (rigid: fix_scale)
+    S = _horn_sim3_3pt(p_cam[idx], X_w[idx], fix_scale=True)  # (H, 8)
+    Tcw = S[:, :7]
+
+    pc = lie.se3_apply(Tcw[:, None, :], X_w[None])            # (H, P, 3)
+    z = jnp.where(jnp.abs(pc[..., 2]) < 1e-6, 1e-6, pc[..., 2])
+    u = cam.fx * pc[..., 0] / z + cam.cx
+    v = cam.fy * pc[..., 1] / z + cam.cy
+    e2 = (u - uv[None, :, 0]) ** 2 + (v - uv[None, :, 1]) ** 2
+    inl = (e2 < 5.991 * sigma2[None]) & (pc[..., 2] > 0.1) & valid[None]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    return PnPResult(
+        Tcw=lie.se3_normalize(Tcw[best]),
+        inliers=inl[best],
+        n_inliers=counts[best].astype(jnp.int32),
+    )

@@ -140,6 +140,34 @@ def attach_lidar_depth(
     return feats._replace(depth=d, u_right=ur), dense
 
 
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
+def attach_stereo_depth(
+    feats_l: FrameFeatures,
+    feats_r: FrameFeatures,
+    bf: float,
+    min_disp: float = 0.0,
+    max_disp: float = 200.0,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+) -> FrameFeatures:
+    """Stereo: row-banded Hamming matching of left↔right features and
+    pseudo-depth from disparity (≡ ``Frame::ComputeStereoMatches``,
+    reference ``Frame.cc:901-1072``)."""
+    scale_factors = jnp.asarray([scale_factor ** l for l in range(n_levels)], jnp.float32)
+    from orb_slam3_rgbl_tpu.ops.matching import stereo_row_match
+
+    u_right, _ = stereo_row_match(
+        feats_l.desc, feats_l.uv[:, 1], feats_l.valid, feats_l.octave,
+        feats_r.desc, feats_r.uv[:, 0], feats_r.uv[:, 1], feats_r.valid, feats_r.octave,
+        min_disp, max_disp, feats_l.uv[:, 0], scale_factors,
+    )
+    disp = feats_l.uv[:, 0] - u_right
+    good = (u_right >= 0) & (disp > 1e-3)
+    depth = jnp.where(good, bf / jnp.where(good, disp, 1.0), -1.0)
+    u_right = jnp.where(good, u_right, -1.0)
+    return feats_l._replace(depth=depth, u_right=u_right)
+
+
 @jax.jit
 def attach_depth_map(feats: FrameFeatures, depth_map: jax.Array, bf: float, depth_factor: float = 1.0) -> FrameFeatures:
     """RGB-D: sample a precomputed depth image at the keypoints

@@ -1,14 +1,14 @@
 """System facade — the public API.
 
 Replaces reference ``System`` (``System.h:87-210`` / ``System.cc``): one
-object wiring config → frame pipeline → tracker → local mapper → (loop
-closer), with per-frame entry points ``track_rgbl`` / ``track_rgbd`` /
-``track_stereo_depth`` and trajectory export.
+object wiring config → frame pipeline → tracker → local mapper → loop
+closer → atlas, with per-frame entry points ``track_rgbl`` /
+``track_rgbd`` / ``track_stereo`` and trajectory export.
 
 The reference's four threads (Tracking / LocalMapping / LoopClosing /
 Viewer, ``System.cc:194-244``) become phases over versioned map state;
-`mapping_every` controls how often the mapping phase runs inline (the
-async deployment dispatches it on a side stream instead).
+the Atlas provides elastic recovery: hard tracking loss archives the
+active map and starts a fresh one (``Tracking::CreateMapInAtlas``).
 """
 
 from __future__ import annotations
@@ -19,9 +19,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from orb_slam3_rgbl_tpu.config import SlamConfig, RGBL, RGBD
+from orb_slam3_rgbl_tpu.geometry import lie
 from orb_slam3_rgbl_tpu.ops import depth as depth_ops
 from orb_slam3_rgbl_tpu.slam import frame as frame_mod
+from orb_slam3_rgbl_tpu.slam import tracking as trk
+from orb_slam3_rgbl_tpu.slam.atlas import Atlas
 from orb_slam3_rgbl_tpu.slam.local_mapping import LocalMapper
+from orb_slam3_rgbl_tpu.slam.loop_closing import LoopCloser
 from orb_slam3_rgbl_tpu.slam.map_state import MapState
 from orb_slam3_rgbl_tpu.slam.tracking import Tracker, TrackResult
 from orb_slam3_rgbl_tpu.io import trajectory as traj_io
@@ -32,12 +36,14 @@ class System:
         self.cfg = config
         self.cam = config.camera
         self._enable_mapping = enable_mapping
-        # map + tracker materialize on the first frame (feature capacity
-        # comes from the actual frame pipeline, which may be narrower than
-        # the config for tests)
+        # components materialize on the first frame (feature capacity
+        # comes from the actual frame pipeline)
+        self.atlas: Optional[Atlas] = None
         self.map: Optional[MapState] = None
         self.tracker: Optional[Tracker] = None
         self.mapper: Optional[LocalMapper] = None
+        self.loop_closer: Optional[LoopCloser] = None
+        self._lost_streak = 0
         self.P_lidar = jnp.asarray(
             depth_ops.lidar_projection_matrix(
                 np.asarray(self.cam.K), np.asarray(config.lidar.T_velo_cam)
@@ -56,7 +62,8 @@ class System:
             min_th=float(self.cfg.orb.min_th_fast),
         )
 
-    def track_rgbl(self, gray: np.ndarray, pointcloud: np.ndarray, timestamp: float) -> TrackResult:
+    def track_rgbl(self, gray: np.ndarray, pointcloud: np.ndarray, timestamp: float,
+                   cloud_mask: Optional[np.ndarray] = None) -> TrackResult:
         """RGB + raw LiDAR cloud (N, 3|4) — ``System::TrackRGBL``
         (reference ``System.cc:477-539``)."""
         feats = self._extract(gray)
@@ -67,6 +74,7 @@ class System:
             min_dist=lc.min_dist, max_dist=lc.max_dist, method=lc.method,
             dil_kind=lc.dil_kernel_type, dil_ku=lc.dil_kernel_size_u,
             dil_kv=lc.dil_kernel_size_v,
+            valid_mask=None if cloud_mask is None else jnp.asarray(cloud_mask),
         )
         return self._track(feats, timestamp)
 
@@ -79,33 +87,97 @@ class System:
         )
         return self._track(feats, timestamp)
 
+    def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray, timestamp: float) -> TrackResult:
+        """Rectified stereo pair — ``System::TrackStereo``
+        (reference ``System.cc:253``)."""
+        feats_l = self._extract(gray_l)
+        feats_r = self._extract(gray_r)
+        feats = frame_mod.attach_stereo_depth(
+            feats_l, feats_r, self.cam.bf,
+            min_disp=0.0, max_disp=self.cam.bf / 0.5,  # z ≥ 0.5 m
+            n_levels=self.cfg.orb.n_levels, scale_factor=self.cfg.orb.scale_factor,
+        )
+        return self._track(feats, timestamp)
+
     def track_features(self, feats: frame_mod.FrameFeatures, timestamp: float) -> TrackResult:
         """Feature-level entry point (testing / replaying extracted
         features without images)."""
         return self._track(feats, timestamp)
 
+    # ------------------------------------------------------------------
+    def _spawn_components(self, n_feat: int):
+        if self.atlas is None:
+            self.atlas = Atlas(self.cfg, n_feat)
+        self.map = self.atlas.create_new_map()
+        self.tracker = Tracker(self.cfg, self.map)
+        self.mapper = LocalMapper(self.cfg, self.map) if self._enable_mapping else None
+        if self.cfg.loop_closing:
+            self.loop_closer = LoopCloser(self.cfg, self.map)
+            self.tracker.kf_db = self.loop_closer.db
+        self._lost_streak = 0
+
     def _track(self, feats, timestamp) -> TrackResult:
         if self.map is None:
-            self.map = MapState.create(
-                self.cfg.max_keyframes, self.cfg.max_map_points, int(feats.uv.shape[0])
-            )
-            self.tracker = Tracker(self.cfg, self.map)
-            if self._enable_mapping:
-                self.mapper = LocalMapper(self.cfg, self.map)
+            self._spawn_components(int(feats.uv.shape[0]))
         res = self.tracker.track(feats, timestamp)
-        if res.created_kf and self.mapper is not None and self.map.n_kf > 1:
-            self.mapper.process_keyframe(self.tracker.new_kf_id)
+        if res.created_kf:
+            kf_id = self.tracker.new_kf_id if self.map.n_kf > 1 else 0
+            if self.mapper is not None and self.map.n_kf > 1:
+                self.mapper.process_keyframe(kf_id)
+            if self.loop_closer is not None:
+                self.loop_closer.on_keyframe(kf_id)
+
+        # elastic recovery (reference Tracking.cc:2032-2058): persistent
+        # LOST with an established map → archive it and start a new one
+        if res.state == trk.LOST:
+            self._lost_streak += 1
+        elif res.state == trk.OK:
+            self._lost_streak = 0
+        if self._lost_streak > int(self.cfg.fps) and self.map.n_kf >= 10:
+            self.atlas.archive_trajectory(self.tracker)
+            self._spawn_components(int(feats.uv.shape[0]))
+        elif self._lost_streak > int(self.cfg.fps) and self.map.n_kf < 10:
+            # early loss: reset the active map in place (ResetActiveMap)
+            self.atlas.archive_trajectory(self.tracker)
+            self._spawn_components(int(feats.uv.shape[0]))
         return res
 
     # ------------------------------------------------------------------
+    def _resolve_segment(self, entry) -> np.ndarray:
+        out = []
+        for Tcr, rk in zip(entry.traj_rel, entry.traj_ref_kf):
+            Tcw = lie.se3_mul(jnp.asarray(Tcr), jnp.asarray(entry.map.kf_pose[rk]))
+            out.append(np.asarray(lie.se3_inv(Tcw)))
+        return np.stack(out) if out else np.zeros((0, 7), np.float32)
+
     def trajectory(self) -> np.ndarray:
-        return self.tracker.trajectory_world()
+        """World-frame camera poses Twc (F, 7) across all atlas maps
+        (each segment resolves against its own, possibly BA/loop-corrected
+        keyframe poses — ``SaveTrajectoryKITTI`` semantics)."""
+        if self.atlas is None:
+            return np.zeros((0, 7), np.float32)
+        self.atlas.archive_trajectory(self.tracker)
+        segs = [self._resolve_segment(e) for e in self.atlas.entries]
+        segs = [s for s in segs if len(s)]
+        return np.concatenate(segs) if segs else np.zeros((0, 7), np.float32)
+
+    def timestamps(self):
+        self.atlas.archive_trajectory(self.tracker)
+        out = []
+        for e in self.atlas.entries:
+            out.extend(e.traj_time)
+        return out
 
     def save_trajectory_kitti(self, path: str):
         traj_io.save_kitti(path, self.trajectory())
 
     def save_trajectory_tum(self, path: str):
-        traj_io.save_tum(path, self.tracker.traj_time, self.trajectory())
+        traj_io.save_tum(path, self.timestamps(), self.trajectory())
+
+    def save_map(self, path: str):
+        from orb_slam3_rgbl_tpu.utils import serialization
+
+        serialization.save_map(path, self.map)
 
     def shutdown(self):
         pass

@@ -25,8 +25,11 @@ from orb_slam3_rgbl_tpu.config import SlamConfig
 from orb_slam3_rgbl_tpu.geometry import lie
 from orb_slam3_rgbl_tpu.ops import matching
 from orb_slam3_rgbl_tpu.optim import pose_opt
+from orb_slam3_rgbl_tpu.optim import pnp
 from orb_slam3_rgbl_tpu.slam.frame import FrameFeatures, inv_scale_sigma2
 from orb_slam3_rgbl_tpu.slam.map_state import MapState
+
+import jax
 
 NO_IMAGES_YET = 0
 NOT_INITIALIZED = 1
@@ -56,6 +59,8 @@ class Tracker:
         self.map = map_state
         self.state = NO_IMAGES_YET
         self.n_feat = None  # set on first frame
+        self.kf_db = None   # KeyFrameDatabase, wired by System for reloc
+        self._reloc_key = jax.random.PRNGKey(13)
 
         self.cur_pose = np.asarray(lie.se3_identity(), np.float32)
         self.last_pose: Optional[np.ndarray] = None
@@ -155,7 +160,13 @@ class Tracker:
         """Motion-model (or reference-KF) tracking then local-map
         refinement. Returns (ok, n_inliers)."""
         lm_idx = None
-        if self.velocity is not None and self.state == OK:
+        if self.state in (RECENTLY_LOST, LOST):
+            # reference Tracking.cc:2019-2053: RECENTLY_LOST attempts
+            # relocalization before giving up
+            lm_idx, n = self._relocalization(feats)
+            if n < 15:
+                return False, 0
+        if lm_idx is None and self.velocity is not None and self.state == OK:
             lm_idx, n = self._track_with_motion_model(feats, th=15.0)
             if n < 20:
                 lm_idx, n = self._track_with_motion_model(feats, th=30.0)
@@ -163,6 +174,8 @@ class Tracker:
                 lm_idx = None
         if lm_idx is None:
             lm_idx, n = self._track_reference_keyframe(feats)
+            if n < 10 and self.state == OK:
+                lm_idx, n = self._relocalization(feats)
             if n < 10:
                 return False, 0
 
@@ -367,6 +380,69 @@ class Tracker:
             int(res.n_inliers),
             np.asarray(res.inliers),
         )
+
+    # ------------------------------------------------------------------
+    def _relocalization(self, feats: FrameFeatures):
+        """Recover the pose from scratch (reference ``Relocalization``
+        ``Tracking.cc:3643-3810``): KFDB candidates → descriptor match →
+        PnP RANSAC → robust pose refinement. Depth sensors supply the 3D
+        of query features, so hypotheses are rigid 3-point alignments
+        (MLPnP replaced — see ``optim/pnp.py``)."""
+        fail = np.full(self.n_feat, -1, np.int32), 0
+        if self.kf_db is None:
+            return fail
+        desc_np = np.asarray(feats.desc)
+        valid_np = np.asarray(feats.valid)
+        depth_np = np.asarray(feats.depth)
+        cands = self.kf_db.detect_relocalization_candidates(desc_np, valid_np, 5)
+        from orb_slam3_rgbl_tpu.ops import matching as _m
+
+        for cand in cands:
+            cand = int(cand)
+            b2 = self.map.kf_lm_idx[cand] >= 0
+            if b2.sum() < 15:
+                continue
+            d = _m.distance_table(
+                feats.desc, jnp.asarray(self.map.kf_desc[cand]),
+                feats.valid, jnp.asarray(b2),
+            )
+            idx, _ = _m.mutual_best_match(d, th=_m.TH_LOW, ratio=0.75, check_rotation=False)
+            idx = np.asarray(idx)
+            f1 = np.nonzero((idx >= 0) & (depth_np > 0))[0]
+            if f1.size < 15:
+                continue
+            lm = self.map.kf_lm_idx[cand, idx[f1]]
+            ok_lm = self.map.lm_valid[lm]
+            f1, lm = f1[ok_lm], lm[ok_lm]
+            if f1.size < 15:
+                continue
+            uv = np.asarray(feats.uv)[f1]
+            z = depth_np[f1]
+            p_cam = np.stack(
+                [(uv[:, 0] - self.cam.cx) / self.cam.fx * z,
+                 (uv[:, 1] - self.cam.cy) / self.cam.fy * z, z], axis=1
+            ).astype(np.float32)
+            s2 = (self.cfg.orb.scale_factor ** (2 * np.asarray(feats.octave)[f1])).astype(np.float32)
+            self._reloc_key, sub = jax.random.split(self._reloc_key)
+            res = pnp.rigid_pnp_ransac(
+                jnp.asarray(p_cam), jnp.asarray(self.map.lm_pos[lm]),
+                jnp.asarray(uv.astype(np.float32)), jnp.asarray(s2),
+                jnp.ones(len(f1), bool), self.cam, sub,
+            )
+            if int(res.n_inliers) < 15:
+                continue
+            lm_idx = np.full(self.n_feat, -1, np.int32)
+            inl = np.asarray(res.inliers)
+            lm_idx[f1[inl]] = lm[inl]
+            pose, n_inl, inliers = self._optimize_pose(
+                feats, lm_idx, np.asarray(res.Tcw, np.float32)
+            )
+            if n_inl >= 15:
+                self.cur_pose = pose
+                self.last_reloc_frame = self.frame_id
+                self.ref_kf = cand
+                return np.where(inliers, lm_idx, -1), int(n_inl)
+        return fail
 
     # ------------------------------------------------------------------
     def _maybe_insert_keyframe(self, feats, timestamp, n_inl) -> bool:

@@ -145,6 +145,31 @@ class TestSim3:
         np.testing.assert_allclose(np.asarray(ident[4:7]), 0.0, atol=1e-9)
         np.testing.assert_allclose(np.asarray(ident[7]), 1.0, atol=1e-9)
 
+    def test_exp_matches_matrix_exponential(self, rng):
+        """Independent check vs scipy expm of the sim3 Lie algebra element
+        (catches self-consistent exp/log bugs the roundtrip test cannot)."""
+        from scipy.linalg import expm
+
+        for _ in range(10):
+            tau = rng.normal(size=7) * 0.6
+            rho, w, sigma = tau[:3], tau[3:6], tau[6]
+            X = np.zeros((4, 4))
+            X[:3, :3] = sigma * np.eye(3) + np.array(
+                [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]]
+            )
+            X[:3, 3] = rho
+            M = expm(X)
+            S = np.asarray(lie.sim3_exp(jnp.asarray(tau)))
+            sR = np.asarray(lie.quat_to_matrix(jnp.asarray(S[:4]))) * S[7]
+            np.testing.assert_allclose(sR, M[:3, :3], atol=1e-6)
+            np.testing.assert_allclose(S[4:7], M[:3, 3], atol=1e-6)
+
+    def test_exp_inverse_property(self, rng):
+        tau = jnp.asarray(rng.normal(size=7) * 0.5)
+        ident = lie.sim3_mul(lie.sim3_exp(-tau), lie.sim3_exp(tau))
+        np.testing.assert_allclose(np.asarray(ident[4:7]), 0.0, atol=1e-7)
+        np.testing.assert_allclose(float(ident[7]), 1.0, atol=1e-9)
+
     def test_scale_application(self):
         S = jnp.array([1.0, 0, 0, 0, 0, 0, 0, 2.0])  # pure scale ×2
         p = jnp.array([[1.0, 2.0, 3.0]])
