@@ -6,44 +6,68 @@ points, 2000 ORB features, 8 pyramid levels, InverseDilation Diamond-5):
 ORB pyramid extraction + FAST + rBRIEF, LiDAR projection + upsampling,
 MXU descriptor association, and the 4-round robust pose solve.
 
+Methodology notes (this measurement environment tunnels to the TPU and
+``block_until_ready`` does not synchronize): all inputs are pre-staged on
+device before timing; successive steps chain the pose state (true frame
+dependency) and cycle pre-staged images; the clock stops only after a
+scalar *download* of the final pose, which drains the execution queue.
+Host↔device transfer of camera/LiDAR input is excluded (deployment
+streams sensor data; the tunnel's ~14 MB/s is an artifact of this
+harness, not the hardware).
+
 Baseline: KITTI plays at 10 Hz; the reference runs "real-time on an i7"
 (BASELINE.md), so ``vs_baseline`` = fps / 10 (1.0 = real-time parity,
-≥2.0 = the BASELINE.json throughput target).
+≥ 2.0 = the BASELINE.json throughput target).
 
 Prints exactly ONE JSON line on stdout.
 """
 
 import json
+import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 def main():
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from orb_slam3_rgbl_tpu.config import kitti_rgbl_config
     from orb_slam3_rgbl_tpu.slam.compiled import make_frame_step, example_inputs
 
     cfg = kitti_rgbl_config()
     fn = jax.jit(make_frame_step(cfg))
-    args = example_inputs(cfg, n_points=131072)
+    img, pts, prev_desc, prev_valid, prev_Xw, Tcw0 = example_inputs(cfg, n_points=131072)
 
+    # pre-stage N_VAR distinct frames on device (outside the timed region)
+    N_VAR = 4
+    imgs = [
+        jax.device_put(np.asarray(jax.random.uniform(jax.random.PRNGKey(100 + i), img.shape) * 255.0, np.float32))
+        for i in range(N_VAR)
+    ]
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = fn(imgs[0], pts, prev_desc, prev_valid, prev_Xw, Tcw0)
+    _ = np.asarray(out[0])  # drain: compile + first run complete
     compile_s = time.perf_counter() - t0
-    print(f"compile: {compile_s:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+    print(f"compile+first: {compile_s:.1f}s on {jax.devices()[0]}", file=sys.stderr)
 
-    # warmup steady-state
-    for _ in range(3):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    # warmup + drain
+    Tcw = Tcw0
+    for i in range(3):
+        Tcw, n_inl, feats = fn(imgs[i % N_VAR], pts, prev_desc, prev_valid, prev_Xw, Tcw)
+    _ = np.asarray(Tcw)
 
     iters = 20
+    Tcw = Tcw0
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        # chained pose (the real sequential dependency of tracking)
+        Tcw, n_inl, feats = fn(imgs[i % N_VAR], pts, prev_desc, prev_valid, prev_Xw, Tcw)
+    _ = np.asarray(Tcw)  # scalar download drains the queue
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 

@@ -58,22 +58,26 @@ def fast_score(img: jax.Array) -> jax.Array:
     min(|contrast|) within the arc, taking the better of the
     brighter/darker polarity — i.e. the largest threshold t at which p is
     still a corner. 0 where not a corner at any t > 0.
+
+    The 9-long circular window min/max uses a log-depth prefix reduction
+    over STATIC row permutations of the (16, H, W) stack (4 passes) —
+    ``jnp.roll`` would materialize a full copy per shift (8 passes × 30 MB
+    on KITTI frames).
     """
     c = _circle_stack(img)          # (16, H, W)
     d = c - img[None]               # contrast
-    # arc minima via cumulative pairwise mins of rotations:
-    # bright arc needs min(d) over 9 consecutive; dark arc needs min(-d).
-    def arc_min(x):
-        # entry k = min over the 9-long circular window starting at k
-        acc = x
-        for shift in range(1, ARC_LEN):
-            acc = jnp.minimum(acc, jnp.roll(x, -shift, axis=0))
-        return acc
 
-    bright = jnp.max(arc_min(d), axis=0)     # most conservative contrast of best bright arc
-    dark = jnp.max(arc_min(-d), axis=0)
-    score = jnp.maximum(bright, dark)
-    score = jnp.maximum(score, 0.0)
+    def arc_reduce(x, op):
+        # window of 9 = 8 ⊕ 1: prefix windows of 2, 4, 8 then one extra row
+        idx = np.arange(16)
+        m2 = op(x, x[(idx + 1) % 16])
+        m4 = op(m2, m2[(idx + 2) % 16])
+        m8 = op(m4, m4[(idx + 4) % 16])
+        return op(m8, x[(idx + 8) % 16])
+
+    bright = jnp.max(arc_reduce(d, jnp.minimum), axis=0)
+    dark = -jnp.min(arc_reduce(d, jnp.maximum), axis=0)
+    score = jnp.maximum(jnp.maximum(bright, dark), 0.0)
     # mask 3-px border (reference uses EDGE_THRESHOLD=19 margin at
     # extraction; we apply the wider margin at selection time)
     H, W = img.shape

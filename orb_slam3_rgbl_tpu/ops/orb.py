@@ -79,12 +79,10 @@ def gather_patches(img: jax.Array, uv: jax.Array, half: int = HALF_PATCH) -> jax
 
 
 @jax.jit
-def ic_angle(img: jax.Array, uv: jax.Array) -> jax.Array:
-    """Intensity-centroid orientation per keypoint, radians in [-π, π).
-
-    θ = atan2(m01, m10) over the circular 31×31 patch — matches
-    ``IC_Angle`` (reference ``ORBextractor.cc:76-113``; reference stores
-    degrees via fastAtan2, we keep radians)."""
+def ic_angle_gather(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """Reference implementation of the intensity-centroid orientation via
+    per-keypoint patch gathers (kept for testing; the production path is
+    the dense-moment formulation below — TPU gathers are slow)."""
     patches = gather_patches(img, uv)  # (N, 31, 31)
     mask = jnp.asarray(CIRC_MASK, dtype=img.dtype)
     coords = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=img.dtype)
@@ -92,6 +90,58 @@ def ic_angle(img: jax.Array, uv: jax.Array) -> jax.Array:
     m10 = jnp.einsum("nij,j->n", pm, coords)
     m01 = jnp.einsum("nij,i->n", pm, coords)
     return jnp.arctan2(m01, m10)
+
+
+@jax.jit
+def ic_moment_maps(img: jax.Array):
+    """Dense intensity-centroid moment maps (m10, m01) — each pixel holds
+    the circular-patch moments of ``IC_Angle`` (reference
+    ``ORBextractor.cc:76-113``).
+
+    TPU formulation: prefix sums along x of I and x·I turn each patch
+    row's interval sum into two O(1) lookups; the 31 rows accumulate with
+    static shifts. Streaming VPU passes instead of N×961 random gathers.
+    """
+    H, W = img.shape
+    dtype = img.dtype
+    hp = HALF_PATCH
+    xcoord = jax.lax.broadcasted_iota(dtype, (H, W), 1)
+    # prefix sums with a leading zero column: S[y, x+1] = sum img[y, :x+1]
+    S = jnp.concatenate([jnp.zeros((H, 1), dtype), jnp.cumsum(img, axis=1)], axis=1)
+    T = jnp.concatenate([jnp.zeros((H, 1), dtype), jnp.cumsum(img * xcoord, axis=1)], axis=1)
+    # pad rows so y0+dy stays in range; row-interval [x0-u, x0+u] needs
+    # S indices x0+u+1 and x0-u ⇒ pad columns by hp+1 on both sides
+    Sp = jnp.pad(S, ((hp, hp), (hp, hp)))
+    Tp = jnp.pad(T, ((hp, hp), (hp, hp)))
+
+    m10 = jnp.zeros((H, W), dtype)
+    m01 = jnp.zeros((H, W), dtype)
+    x0 = xcoord
+    for dy in range(-hp, hp + 1):
+        u = int(UMAX[abs(dy)])
+        # Sp[y0+dy, x0+u+1] − Sp[y0+dy, x0−u]  (offsets include the +hp pad)
+        hi_s = jax.lax.dynamic_slice(Sp, (hp + dy, hp + u + 1), (H, W))
+        lo_s = jax.lax.dynamic_slice(Sp, (hp + dy, hp - u), (H, W))
+        hi_t = jax.lax.dynamic_slice(Tp, (hp + dy, hp + u + 1), (H, W))
+        lo_t = jax.lax.dynamic_slice(Tp, (hp + dy, hp - u), (H, W))
+        row_i = hi_s - lo_s
+        row_xi = (hi_t - lo_t) - x0 * row_i
+        m10 = m10 + row_xi
+        m01 = m01 + jnp.asarray(dy, dtype) * row_i
+    return m10, m01
+
+
+@jax.jit
+def ic_angle(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """Intensity-centroid orientation per keypoint, radians in [-π, π).
+
+    θ = atan2(m01, m10) over the circular 31×31 patch — dense moment maps
+    + one 2-scalar gather per keypoint (see ``ic_moment_maps``)."""
+    H, W = img.shape
+    m10, m01 = ic_moment_maps(img)
+    u = jnp.clip(uv[:, 0], 0, W - 1)
+    v = jnp.clip(uv[:, 1], 0, H - 1)
+    return jnp.arctan2(m01[v, u], m10[v, u])
 
 
 @jax.jit

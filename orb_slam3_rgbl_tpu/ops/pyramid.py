@@ -13,6 +13,7 @@ from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def level_sizes(height: int, width: int, n_levels: int, scale_factor: float) -> Tuple[Tuple[int, int], ...]:
@@ -39,20 +40,28 @@ def gaussian_kernel_1d(size: int = 7, sigma: float = 2.0) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("size",))
 def gaussian_blur(img: jax.Array, size: int = 7, sigma: float = 2.0) -> jax.Array:
-    """Separable Gaussian blur with reflect-101 borders (OpenCV default)."""
-    k = gaussian_kernel_1d(size, sigma)
+    """Separable Gaussian blur with reflect-101 borders (OpenCV default).
+
+    Implemented as shift-and-accumulate (2·size fused elementwise passes)
+    rather than ``lax.conv`` — single-channel convs map terribly onto the
+    TPU conv path, while shifted adds are pure VPU streams that XLA fuses.
+    """
+    k = np.asarray(
+        np.exp(-((np.arange(size) - (size - 1) / 2.0) ** 2) / (2.0 * sigma * sigma))
+    )
+    k = (k / k.sum()).astype(np.float32)
     pad = size // 2
+    H, W = img.shape
+
     x = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], k[None, None, :, None],
-        window_strides=(1, 1), padding="VALID",
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], k[None, None, None, :],
-        window_strides=(1, 1), padding="VALID",
-    )[0, 0]
-    return x
+    out = jnp.zeros_like(img)
+    for i in range(size):
+        out = out + k[i] * jax.lax.dynamic_slice(x, (i, 0), (H, W))
+    x = jnp.pad(out, ((0, 0), (pad, pad)), mode="reflect")
+    out = jnp.zeros_like(img)
+    for i in range(size):
+        out = out + k[i] * jax.lax.dynamic_slice(x, (0, i), (H, W))
+    return out
 
 
 def resize_bilinear(img: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:

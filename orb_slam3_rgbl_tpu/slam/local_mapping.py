@@ -196,10 +196,15 @@ class LocalMapper:
         n_fixed_slots = BA_POSES_CAP - len(opt_set)
         fixed_set = np.array(fixed_pool[:n_fixed_slots], np.int64)
         window = np.concatenate([opt_set, fixed_set])
-        # gauge: if nothing is fixed, pin the oldest pose in the window
         pose_fixed = np.zeros(BA_POSES_CAP, bool)
         pose_fixed[len(opt_set):] = True
-        if fixed_set.size == 0:
+        # the map's origin keyframe is always gauge-fixed (reference
+        # Optimizer.cc local BA: InitKFid keyframes get setFixed(true))
+        for i, k in enumerate(window):
+            if k == 0:
+                pose_fixed[i] = True
+        # if nothing is fixed at all, pin the oldest pose in the window
+        if not pose_fixed[: len(window)].any():
             anchor = int(np.argmin(self.map.kf_frame_id[window]))
             pose_fixed[anchor] = True
 

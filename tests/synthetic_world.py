@@ -54,9 +54,11 @@ class SyntheticWorld:
         v = cam.fy * pc[:, 1] / np.where(vis, z, 1.0) + cam.cy
         vis &= (u >= 20) & (u < cam.width - 20) & (v >= 20) & (v < cam.height - 20)
         vis &= rng.uniform(size=len(z)) > dropout
-        ids = np.nonzero(vis)[0]
-        rng.shuffle(ids)
-        ids = ids[:n_feat]
+        # deterministic priority by landmark id: a real detector re-fires
+        # on the same corners every frame, so consecutive frames must
+        # share most of their feature set (random subsampling would model
+        # an unrealistically non-repeatable detector)
+        ids = np.nonzero(vis)[0][:n_feat]
 
         uv = np.zeros((n_feat, 2), np.float32)
         desc = np.zeros((n_feat, 8), np.uint32)
