@@ -140,6 +140,132 @@ def make_distributed_ba(mesh: Mesh, cam, iterations: int = 10, huber_iters: int 
     return run
 
 
+def make_distributed_pcg_ba(mesh: Mesh, cam, iterations: int = 8, cg_iters: int = 24,
+                            huber_iters: int = 5):
+    """Distributed matrix-free PCG global BA (the scalable path —
+    see ``optim/global_ba.py`` for the single-device derivation).
+
+    Landmark-major arrays shard along ``lm``; pose-space reductions
+    (gradient blocks, preconditioner blocks, H·v pose half, CG dot
+    products) ``psum`` over ICI — communication per CG iteration is
+    O(K·6) + two scalars, independent of the landmark count. Landmark
+    state stays fully local to its shard.
+    """
+    from orb_slam3_rgbl_tpu.optim import global_ba as gba
+    from orb_slam3_rgbl_tpu.optim.local_ba import _linearize
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(BAProblem(
+            poses=P(), pose_fixed=P(), pose_valid=P(),
+            landmarks=P(LM_AXIS), lm_valid=P(LM_AXIS),
+            obs_kf=P(LM_AXIS), obs_uv=P(LM_AXIS), obs_ur=P(LM_AXIS),
+            obs_inv_sigma2=P(LM_AXIS), obs_mask=P(LM_AXIS),
+        ),),
+        out_specs=(P(), P(LM_AXIS)),
+    )
+    def ba_shard(problem: BAProblem):
+        K = problem.poses.shape[0]
+        M, D = problem.obs_kf.shape
+        dtype = problem.poses.dtype
+        pose_free = ((~problem.pose_fixed) & problem.pose_valid)[:, None]
+        lm_free = problem.lm_valid[:, None]
+
+        def psum(x):
+            return jax.lax.psum(x, LM_AXIS)
+
+        def body(it, carry):
+            poses, lms, lam = carry
+            Pl = problem._replace(poses=poses, landmarks=lms)
+            use_huber = it < huber_iters
+            r, Jp, Jl, w, chi2, active, cost_loc = _linearize(
+                Pl, cam, use_huber, jnp.ones_like(problem.obs_mask)
+            )
+            cost = psum(cost_loc)
+            wr = w[..., None] * r
+            g_p = psum(gba._segment_pose_sum(jnp.einsum("mdij,mdi->mdj", Jp, wr), Pl.obs_kf, K))
+            g_l = jnp.einsum("mdij,mdi->mj", Jl, wr)
+            g_p = g_p * pose_free
+            g_l = g_l * lm_free
+
+            wJp = w[..., None, None] * Jp
+            Hpp_diag = psum(gba._segment_pose_sum(
+                jnp.einsum("mdij,mdik->mdjk", wJp, Jp).reshape(M, D, 36), Pl.obs_kf, K
+            )).reshape(K, 6, 6)
+            Hll_diag = jnp.einsum("mdij,md,mdik->mjk", Jl, w, Jl)
+            eye6 = jnp.eye(6, dtype=dtype)
+            eye3 = jnp.eye(3, dtype=dtype)
+            Hpp_d = Hpp_diag + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hpp_diag)) + 1e-7 * eye6
+            Hll_d = Hll_diag + lam * jax.vmap(jnp.diag)(jax.vmap(jnp.diag)(Hll_diag)) + 1e-7 * eye3
+            Minv_p = jnp.linalg.inv(jnp.where(pose_free[..., None], Hpp_d, eye6))
+            Minv_l = jnp.linalg.inv(jnp.where(lm_free[..., None], Hll_d, eye3))
+            lam_p = lam * jax.vmap(jnp.diag)(Hpp_diag) + 1e-7
+            lam_l = lam * jax.vmap(jnp.diag)(Hll_diag) + 1e-7
+
+            def H_apply(v_p, v_l):
+                vp_obs = v_p[Pl.obs_kf]
+                Jv = jnp.einsum("mdij,mdj->mdi", Jp, vp_obs) + jnp.einsum("mdij,mj->mdi", Jl, v_l)
+                wJv = w[..., None] * Jv
+                Hp = psum(gba._segment_pose_sum(jnp.einsum("mdij,mdi->mdj", Jp, wJv), Pl.obs_kf, K))
+                Hl = jnp.einsum("mdij,mdi->mj", Jl, wJv)
+                return (Hp + lam_p * v_p) * pose_free, (Hl + lam_l * v_l) * lm_free
+
+            def precond(v_p, v_l):
+                return (
+                    jnp.einsum("kij,kj->ki", Minv_p, v_p) * pose_free,
+                    jnp.einsum("mij,mj->mi", Minv_l, v_l) * lm_free,
+                )
+
+            def dot(a, b):
+                # pose half is replicated; landmark half is shard-local
+                return jnp.sum(a[0] * b[0]) + psum(jnp.sum(a[1] * b[1]))
+
+            b_p, b_l = -g_p, -g_l
+            x = (jnp.zeros_like(b_p), jnp.zeros_like(b_l))
+            rr = (b_p, b_l)
+            z = precond(*rr)
+            p = z
+            rz = dot(rr, z)
+
+            def cg_step(_, st):
+                x, rr, p, rz = st
+                Ap = H_apply(*p)
+                alpha = rz / jnp.maximum(dot(p, Ap), 1e-20)
+                x = (x[0] + alpha * p[0], x[1] + alpha * p[1])
+                rr = (rr[0] - alpha * Ap[0], rr[1] - alpha * Ap[1])
+                z = precond(*rr)
+                rz_new = dot(rr, z)
+                beta = rz_new / jnp.maximum(rz, 1e-20)
+                p = (z[0] + beta * p[0], z[1] + beta * p[1])
+                return x, rr, p, rz_new
+
+            x, *_ = jax.lax.fori_loop(0, cg_iters, cg_step, (x, rr, p, rz))
+            dp, dl = x
+            new_poses = lie.se3_normalize(lie.se3_mul(lie.se3_exp(dp), poses))
+            new_lms = lms + dl
+            P2 = problem._replace(poses=new_poses, landmarks=new_lms)
+            *_, cost_new_loc = _linearize(P2, cam, use_huber, jnp.ones_like(problem.obs_mask))
+            cost_new = psum(cost_new_loc)
+            accept = cost_new < cost
+            poses = jnp.where(accept, new_poses, poses)
+            lms = jnp.where(accept, new_lms, lms)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-8), jnp.minimum(lam * 5.0, 1e4))
+            return poses, lms, lam
+
+        poses, lms, _ = jax.lax.fori_loop(
+            0, iterations, body,
+            (problem.poses, problem.landmarks, jnp.asarray(1e-3, problem.poses.dtype)),
+        )
+        return poses, lms
+
+    @jax.jit
+    def run(problem: BAProblem):
+        return ba_shard(problem)
+
+    return run
+
+
 def shard_problem(problem: BAProblem, mesh: Mesh) -> BAProblem:
     """Place a host BAProblem onto the mesh with landmark sharding."""
     lm_sharded = NamedSharding(mesh, P(LM_AXIS))

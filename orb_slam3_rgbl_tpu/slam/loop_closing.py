@@ -39,7 +39,7 @@ class LoopEvent:
 
 
 class LoopCloser:
-    def __init__(self, config: SlamConfig, map_state: MapState):
+    def __init__(self, config: SlamConfig, map_state: MapState, run_gba: bool = True):
         self.cfg = config
         self.cam = config.camera
         self.map = map_state
@@ -47,6 +47,7 @@ class LoopCloser:
         self.fix_scale = config.sensor != 0  # everything but pure mono
         self.last_loop_kf = -9999
         self.events: list[LoopEvent] = []
+        self.run_gba = run_gba
         self._key = jax.random.PRNGKey(7)
 
     # ------------------------------------------------------------------
@@ -208,6 +209,26 @@ class LoopCloser:
             self._fuse(cur_lms, old_lms)
             self._pending_fusion = None
         m.version += 1
+
+        # global BA after the correction (reference launches the GBA
+        # thread at LoopClosing.cc:1206 when the map holds < 200 KFs)
+        if self.run_gba and m.n_kf < 200:
+            self._global_ba()
+
+    def _global_ba(self, iterations: int = 6):
+        from orb_slam3_rgbl_tpu.optim import global_ba
+        from orb_slam3_rgbl_tpu.slam import ba_assembly
+        from orb_slam3_rgbl_tpu.slam.frame import inv_scale_sigma2
+
+        inv_s2 = np.asarray(inv_scale_sigma2(self.cfg.orb.n_levels, self.cfg.orb.scale_factor))
+        problem, window, lm_ids, obs_kf, obs_feat = ba_assembly.build_full_problem(
+            self.map, inv_s2
+        )
+        res = global_ba.global_bundle_adjust(problem, self.cam, iterations=iterations)
+        ba_assembly.writeback(
+            self.map, window, lm_ids, obs_kf, obs_feat,
+            res.poses, res.landmarks,
+        )
 
     def _fuse(self, cur_lms: np.ndarray, old_lms: np.ndarray):
         """Replace each current-side landmark with its loop-matched older

@@ -49,6 +49,22 @@ class TestShardedBA:
         assert err_dist < 0.02, (err_dist, err_single)
         assert err_dist < max(3 * err_single, 5e-3)
 
+    def test_distributed_pcg_matches_single_device(self, rng):
+        from orb_slam3_rgbl_tpu.optim import global_ba
+
+        problem, poses_gt, lms_gt, seen = synth_ba(rng, K=8, M=400, noise=0.2)
+        problem = pad_problem_to(problem, 416)  # divisible by 8
+        mesh = mesh_mod.make_mesh(8)
+        run = sharded_ba.make_distributed_pcg_ba(mesh, CAM, iterations=8, cg_iters=25)
+        sp = sharded_ba.shard_problem(problem, mesh)
+        poses_d, lms_d = run(sp)
+        res_single = global_ba.global_bundle_adjust(problem, CAM, iterations=8, cg_iters=25)
+        e_dist = pose_rmse(np.asarray(poses_d), poses_gt)
+        e_single = pose_rmse(np.asarray(res_single.poses), poses_gt)
+        assert e_dist < 0.05, (e_dist, e_single)
+        # identical algorithm ⇒ near-identical result up to reduction order
+        assert abs(e_dist - e_single) < 0.02, (e_dist, e_single)
+
     def test_sharding_is_real(self, rng):
         problem, *_ = synth_ba(rng, K=6, M=300, noise=0.2)
         problem = pad_problem_to(problem, 320)
