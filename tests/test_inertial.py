@@ -1,0 +1,127 @@
+"""Visual-inertial optimizer tests on simulated IMU + landmarks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_rgbl_tpu.geometry import lie, camera
+from orb_slam3_rgbl_tpu.imu import preintegration as pre
+from orb_slam3_rgbl_tpu.optim import inertial
+from orb_slam3_rgbl_tpu.optim.pose_opt import PoseObs
+from orb_slam3_rgbl_tpu.config import kitti_rgbl_config
+
+CAM = kitti_rgbl_config().camera
+G = np.array([0.0, 0.0, -pre.GRAVITY])
+
+
+def simulate_vi(rng, n_kf=6, samples_per_kf=40, dt=0.005,
+                omega=np.array([0.05, -0.1, 0.15]), acc_body=np.array([0.6, 0.2, -0.3]),
+                bg=np.zeros(3), ba=np.zeros(3)):
+    """Body trajectory with constant body-frame rates; returns keyframe
+    states and per-interval preintegrations (measurements include biases)."""
+    from scipy.spatial.transform import Rotation
+
+    R = np.eye(3)
+    v = np.array([1.0, 0.0, 0.2])
+    p = np.zeros(3)
+    states = [(R.copy(), v.copy(), p.copy())]
+    metas = []
+    for k in range(n_kf - 1):
+        accs, gyrs = [], []
+        for _ in range(samples_per_kf):
+            a_world = R @ acc_body
+            accs.append(R.T @ (a_world - G) + ba)
+            gyrs.append(omega + bg)
+            p = p + v * dt + 0.5 * a_world * dt * dt
+            v = v + a_world * dt
+            R = R @ Rotation.from_rotvec(omega * dt).as_matrix()
+        metas.append((np.array(accs, np.float32), np.array(gyrs, np.float32)))
+        states.append((R.copy(), v.copy(), p.copy()))
+    return states, metas, dt
+
+
+def preintegrate_all(metas, dt, bias):
+    outs = []
+    for accs, gyrs in metas:
+        outs.append(
+            pre.preintegrate(
+                jnp.asarray(accs), jnp.asarray(gyrs),
+                jnp.full(len(accs), dt, jnp.float32), jnp.ones(len(accs), bool), bias,
+            )
+        )
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+
+class TestInertialPoseOptimize:
+    def test_recovers_state(self, rng):
+        states, metas, dt = simulate_vi(rng)
+        (R0, v0, p0), (R1, v1, p1) = states[0], states[1]
+        meas = pre.preintegrate(
+            jnp.asarray(metas[0][0]), jnp.asarray(metas[0][1]),
+            jnp.full(len(metas[0][0]), dt, jnp.float32), jnp.ones(len(metas[0][0]), bool),
+            pre.ImuBias.zero(),
+        )
+        prev = inertial.VIState(
+            Twb=lie.se3(lie.matrix_to_quat(jnp.asarray(R0.astype(np.float32))), jnp.asarray(p0.astype(np.float32))),
+            vw=jnp.asarray(v0.astype(np.float32)), bias=pre.ImuBias.zero(),
+        )
+        true_Twb = lie.se3(lie.matrix_to_quat(jnp.asarray(R1.astype(np.float32))), jnp.asarray(p1.astype(np.float32)))
+
+        # visual observations of random landmarks from the true camera pose
+        m = 150
+        T_cb = lie.se3_identity()  # camera == body for the test
+        Tcw = lie.se3_inv(true_Twb)
+        Xw_cam = rng.uniform([-15, -15, 5], [15, 15, 50], (m, 3)).astype(np.float32)
+        Xw = np.asarray(lie.se3_apply(true_Twb, jnp.asarray(Xw_cam)))  # in front of camera
+        pc = np.asarray(lie.se3_apply(Tcw, jnp.asarray(Xw)))
+        uv = np.array(camera.project(CAM, jnp.asarray(pc))) + rng.normal(0, 0.3, (m, 2))
+        ur = uv[:, 0] - CAM.bf / pc[:, 2] + rng.normal(0, 0.3, m)
+        obs = PoseObs(
+            Xw=jnp.asarray(Xw), uv=jnp.asarray(uv.astype(np.float32)),
+            u_right=jnp.asarray(ur.astype(np.float32)),
+            inv_sigma2=jnp.ones(m), valid=jnp.ones(m, bool),
+        )
+
+        # init: perturbed true state
+        init = inertial.VIState(
+            Twb=lie.se3_mul(lie.se3_exp(jnp.asarray([0.1, -0.05, 0.08, 0.01, 0.02, -0.01], jnp.float32)), true_Twb),
+            vw=jnp.asarray((v1 + rng.normal(0, 0.2, 3)).astype(np.float32)),
+            bias=pre.ImuBias.zero(),
+        )
+        out, n_inl = inertial.inertial_pose_optimize(init, prev, meas, obs, T_cb, CAM)
+        err = np.asarray(lie.se3_log(lie.se3_mul(out.Twb, lie.se3_inv(true_Twb))))
+        assert np.linalg.norm(err) < 5e-3, err
+        assert np.linalg.norm(np.asarray(out.vw) - v1) < 0.05
+        assert int(n_inl) > 120
+
+
+class TestImuInitialization:
+    def test_recovers_gravity_scale_bias(self, rng):
+        bg_true = np.array([0.02, -0.01, 0.015])
+        states, metas, dt = simulate_vi(rng, n_kf=8, samples_per_kf=60, bg=bg_true)
+        scale_true = 2.5   # visual poses are up-to-scale
+        # gravity rotated: world tilted by a known rotation
+        from scipy.spatial.transform import Rotation
+        R_tilt = Rotation.from_rotvec([0.15, -0.1, 0.0]).as_matrix()
+
+        Twb = []
+        for R, v, p in states:
+            R_v = R_tilt.T @ R
+            p_v = (R_tilt.T @ p) / scale_true
+            Twb.append(np.concatenate([
+                np.asarray(lie.matrix_to_quat(jnp.asarray(R_v.astype(np.float32)))),
+                p_v.astype(np.float32),
+            ]))
+        Twb = jnp.asarray(np.stack(Twb))
+        meas = preintegrate_all(metas, dt, pre.ImuBias.zero())
+        out = inertial.imu_initialization(
+            Twb, meas, jnp.ones(len(states) - 1, bool), prior_g=1e2, prior_a=1e8,
+        )
+        assert abs(float(out["scale"]) - scale_true) / scale_true < 0.05, float(out["scale"])
+        # gravity direction in the visual frame: Rwg·(0,0,−g) should match
+        # R_tilt.T @ (0,0,−g)
+        g_est = np.asarray(lie.quat_rotate(out["Rwg"], jnp.asarray([0.0, 0.0, -pre.GRAVITY], jnp.float32)))
+        g_true = R_tilt.T @ G
+        cos = np.dot(g_est, g_true) / (np.linalg.norm(g_est) * np.linalg.norm(g_true))
+        assert cos > 0.999, (g_est, g_true)
+        assert np.linalg.norm(np.asarray(out["bias"].bg) - bg_true) < 5e-3, out["bias"].bg
