@@ -217,7 +217,20 @@ def reconstruct_two_views(
     # acceptance: clear winner with enough parallax-valid points
     # (reference requires 0.9·inliers and a minimum triangulated count)
     second = jnp.sort(counts)[-2]
-    success = (n_good >= 50) & (n_good > 0.75 * n_inl) & (second < 0.7 * n_good)
+    # minimum-parallax gate (reference CheckRT: sort cos-parallax
+    # ascending, take index min(50, n−1), require acos > 1°) — rejects
+    # pure-rotation pairs that otherwise triangulate noise into a map
+    cosp_best = tri.parallax_cos(xn1, xn2,
+                                 jnp.broadcast_to(lie.se3_identity(uv1.dtype), (P, 7)),
+                                 jnp.broadcast_to(T21, (P, 7)))
+    sorted_cosp = jnp.sort(jnp.where(good, cosp_best, 2.0))
+    idx50 = jnp.minimum(50, jnp.maximum(n_good - 1, 0)).astype(jnp.int32)
+    # reference minParallax = 1.0°; rotation-only pairs produce spurious
+    # triangulation parallax up to ~0.9° (|t| is normalized to 1 by the
+    # E-decomposition, so noise-depth points fake sub-degree parallax),
+    # which this cut must stay above
+    parallax_ok = sorted_cosp[idx50] < 0.999848  # cos(1.0°)
+    success = (n_good >= 50) & (n_good > 0.75 * n_inl) & (second < 0.7 * n_good) & parallax_ok
     return TwoViewResult(
         success=success, T21=T21, points=X, is_good=good, used_homography=use_H
     )

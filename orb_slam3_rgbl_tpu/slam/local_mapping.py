@@ -37,13 +37,15 @@ class LocalMapper:
         self.map = map_state
         self.inv_sigma2 = np.asarray(inv_scale_sigma2(config.orb.n_levels, config.orb.scale_factor))
         self.recent_lm: list = []   # (lm_ids, created_at_kf) for culling
+        self.is_mono = config.sensor in (0, 3)  # MONOCULAR / IMU_MONOCULAR
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, run_ba: bool = True):
         self.map.update_landmark_stats(np.array([kf_id]))
         self._map_point_culling(kf_id)
         self._triangulate_new_points(kf_id)
-        if run_ba and self.map.n_kf >= 3:
+        min_kf_for_ba = 2 if self.is_mono else 3
+        if run_ba and self.map.n_kf >= min_kf_for_ba:
             self.local_bundle_adjustment(kf_id)
         self._keyframe_culling(kf_id)
 
@@ -92,13 +94,28 @@ class LocalMapper:
         uv1 = self.map.kf_uv[kf_id]
         unbound1 = (self.map.kf_lm_idx[kf_id] < 0) & self.map.kf_feat_valid[kf_id]
         desc1 = jnp.asarray(self.map.kf_desc[kf_id])
+        # mono maps have arbitrary scale: gate the baseline against the
+        # median scene depth instead of meters (reference
+        # LocalMapping.cc:434-446: ratioBaselineDepth > 0.01)
+        if self.is_mono:
+            lm_here = self.map.kf_lm_idx[kf_id]
+            lm_here = lm_here[lm_here >= 0]
+            if lm_here.size == 0:
+                return
+            center1 = np.asarray(lie.se3_trans(lie.se3_inv(T1)))
+            med_depth = float(np.median(
+                np.linalg.norm(self.map.lm_pos[lm_here] - center1[None, :], axis=-1)
+            ))
+            min_baseline = 0.01 * med_depth
+        else:
+            min_baseline = 0.08
         created_all = []
         for k2 in neighbors:
             T2 = jnp.asarray(self.map.kf_pose[k2])
             # baseline check: skip if baseline too small vs median depth
             b = np.asarray(lie.se3_trans(lie.se3_mul(T1, lie.se3_inv(T2))))
             baseline = float(np.linalg.norm(b))
-            if baseline < 0.08:
+            if baseline < min_baseline:
                 continue
             unbound2 = (self.map.kf_lm_idx[k2] < 0) & self.map.kf_feat_valid[k2]
             if unbound1.sum() < 10 or unbound2.sum() < 10:

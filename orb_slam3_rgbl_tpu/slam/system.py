@@ -99,6 +99,13 @@ class System:
         )
         return self._track(feats, timestamp)
 
+    def track_monocular(self, gray: np.ndarray, timestamp: float) -> TrackResult:
+        """Single camera, no depth — ``System::TrackMonocular``
+        (reference ``System.h:129-135``). The map initializes from two-view
+        reconstruction and is defined up to scale."""
+        feats = self._extract(gray)
+        return self._track(feats, timestamp)
+
     def track_features(self, feats: frame_mod.FrameFeatures, timestamp: float) -> TrackResult:
         """Feature-level entry point (testing / replaying extracted
         features without images)."""
@@ -120,9 +127,8 @@ class System:
         if self.map is None:
             self._spawn_components(int(feats.uv.shape[0]))
         res = self.tracker.track(feats, timestamp)
-        if res.created_kf:
-            kf_id = self.tracker.new_kf_id if self.map.n_kf > 1 else 0
-            if self.mapper is not None and self.map.n_kf > 1:
+        for kf_id in self.tracker.new_kf_ids:
+            if self.mapper is not None and self.map.n_kf > 1 and kf_id == self.tracker.new_kf_ids[-1]:
                 self.mapper.process_keyframe(kf_id)
             if self.loop_closer is not None:
                 self.loop_closer.on_keyframe(kf_id)

@@ -21,8 +21,9 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
-from orb_slam3_rgbl_tpu.config import SlamConfig
+from orb_slam3_rgbl_tpu.config import SlamConfig, MONOCULAR, IMU_MONOCULAR
 from orb_slam3_rgbl_tpu.geometry import lie
+from orb_slam3_rgbl_tpu.geometry import two_view
 from orb_slam3_rgbl_tpu.ops import matching
 from orb_slam3_rgbl_tpu.optim import pose_opt
 from orb_slam3_rgbl_tpu.optim import pnp
@@ -41,6 +42,7 @@ STATE_NAMES = {0: "NO_IMAGES_YET", 1: "NOT_INITIALIZED", 2: "OK", 3: "RECENTLY_L
 
 LOCAL_LM_CAP = 8192   # local-map landmark budget per frame
 LOCAL_KF_CAP = 80     # reference caps local keyframes at 80 (Tracking.cc:3543)
+MONO_INIT_CAP = 1024  # fixed match capacity for two-view reconstruction
 
 
 @dataclasses.dataclass
@@ -61,6 +63,10 @@ class Tracker:
         self.n_feat = None  # set on first frame
         self.kf_db = None   # KeyFrameDatabase, wired by System for reloc
         self._reloc_key = jax.random.PRNGKey(13)
+        self.is_mono = config.sensor in (MONOCULAR, IMU_MONOCULAR)
+        self._mono_ref = None          # (FrameFeatures, timestamp) init reference
+        self._mono_key = jax.random.PRNGKey(21)
+        self.new_kf_ids: list = []     # keyframes created this frame (0, 1 or 2)
 
         self.cur_pose = np.asarray(lie.se3_identity(), np.float32)
         self.last_pose: Optional[np.ndarray] = None
@@ -96,8 +102,12 @@ class Tracker:
             self.n_feat = int(feats.uv.shape[0])
 
         created_kf = False
+        self.new_kf_ids = []
         if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
-            ok = self._stereo_initialization(feats, timestamp)
+            if self.is_mono:
+                ok = self._monocular_initialization(feats, timestamp)
+            else:
+                ok = self._stereo_initialization(feats, timestamp)
             self.state = OK if ok else NOT_INITIALIZED
             n_inl = int(np.asarray(feats.valid).sum()) if ok else 0
             created_kf = ok
@@ -146,13 +156,111 @@ class Tracker:
         octv = np.asarray(feats.octave)[feat_idx]
         dist = np.linalg.norm(rays, axis=-1)
         sf = self.scale_factors[np.clip(octv, 0, len(self.scale_factors) - 1)]
-        self.map.add_landmarks(
+        ids = self.map.add_landmarks(
             rays.astype(np.float32), desc, kf_id, feat_idx, normals.astype(np.float32),
             (dist * sf).astype(np.float32),
             (dist * sf / self.scale_factors[-1] / self.cfg.orb.scale_factor).astype(np.float32),
         )
+        self.cur_lm_idx = lm_idx.copy()
+        self.cur_lm_idx[feat_idx] = ids
         self.ref_kf = kf_id
         self.last_kf_frame = self.frame_id
+        self.new_kf_ids = [kf_id]
+        return True
+
+    # ------------------------------------------------------------------
+    def _monocular_initialization(self, feats: FrameFeatures, timestamp: float) -> bool:
+        """Reference ``Tracking::MonocularInitialization`` (Tracking.cc:2483)
+        + ``CreateInitialMapMonocular`` (Tracking.cc:2588): hold a reference
+        frame with > 100 features, window-match the next frame
+        (``SearchForInitialization``), race F/H two-view reconstruction,
+        scale the initial map to unit median depth, create KF0 + KF1."""
+        valid = np.asarray(feats.valid)
+        if self._mono_ref is None:
+            if valid.sum() > 100:
+                self._mono_ref = (feats, timestamp)
+            return False
+        if valid.sum() <= 100:
+            self._mono_ref = None
+            return False
+        ref, ref_t = self._mono_ref
+
+        # SearchForInitialization: mutual best descriptor match restricted
+        # to a 100 px window around the reference keypoint (ratio 0.9)
+        d = matching.distance_table(ref.desc, feats.desc, ref.valid, feats.valid)
+        duv2 = jnp.sum((ref.uv[:, None, :] - feats.uv[None, :, :]) ** 2, axis=-1)
+        d = jnp.where(duv2 < 100.0 ** 2, d, 512.0)
+        idx, _ = matching.mutual_best_match(d, th=matching.TH_LOW, ratio=0.9,
+                                            check_rotation=False)
+        idx = np.asarray(idx)
+        f1 = np.nonzero(idx >= 0)[0]
+        if f1.size < 100:
+            # too few matches: the reference drops the init frame and waits
+            self._mono_ref = (feats, timestamp)
+            return False
+        f2 = idx[f1]
+
+        P = MONO_INIT_CAP
+        m = min(f1.size, P)
+        uv1 = np.zeros((P, 2), np.float32)
+        uv2 = np.zeros((P, 2), np.float32)
+        vm = np.zeros(P, bool)
+        uv1[:m] = np.asarray(ref.uv)[f1[:m]]
+        uv2[:m] = np.asarray(feats.uv)[f2[:m]]
+        vm[:m] = True
+        self._mono_key, sub = jax.random.split(self._mono_key)
+        res = two_view.reconstruct_two_views(
+            jnp.asarray(uv1), jnp.asarray(uv2), jnp.asarray(vm), self.cam, sub
+        )
+        if not bool(res.success):
+            return False
+        T21 = np.asarray(res.T21, np.float32).copy()   # cur←ref (ref at identity)
+        X = np.asarray(res.points, np.float32)
+        good = np.asarray(res.is_good) & vm
+        sel = np.nonzero(good)[0]
+        if sel.size < 50:
+            return False
+        med = float(np.median(X[sel, 2]))
+        if not np.isfinite(med) or med <= 1e-6:
+            return False
+        # unit-median-depth gauge (reference: invMedianDepth scaling of
+        # the baseline and all points)
+        X = X / med
+        T21[4:7] /= med
+
+        fsel1 = f1[sel]
+        fsel2 = f2[sel]
+        lm0 = np.full(self.n_feat, -1, np.int32)
+        kf0 = self.map.add_keyframe(
+            np.asarray(lie.se3_identity(), np.float32), np.asarray(ref.uv),
+            np.asarray(ref.octave, np.int16), np.asarray(ref.desc),
+            np.asarray(ref.depth), np.asarray(ref.u_right), np.asarray(ref.valid),
+            lm0, ref_t, max(self.frame_id - 1, 0),
+        )
+        kf1 = self.map.add_keyframe(
+            T21, np.asarray(feats.uv), np.asarray(feats.octave, np.int16),
+            np.asarray(feats.desc), np.asarray(feats.depth),
+            np.asarray(feats.u_right), valid, lm0.copy(), timestamp, self.frame_id,
+        )
+        pts = X[sel]
+        dist = np.linalg.norm(pts, axis=-1)  # KF0 camera at origin
+        normals = pts / np.maximum(dist[:, None], 1e-9)
+        octv = np.asarray(ref.octave)[fsel1]
+        sf = self.scale_factors[np.clip(octv, 0, len(self.scale_factors) - 1)]
+        ids = self.map.add_landmarks(
+            pts.astype(np.float32), np.asarray(ref.desc)[fsel1], kf0, fsel1,
+            normals.astype(np.float32), (dist * sf).astype(np.float32),
+            (dist * sf / self.scale_factors[-1] / self.cfg.orb.scale_factor).astype(np.float32),
+        )
+        self.map.kf_lm_idx[kf1, fsel2] = ids
+
+        self.cur_pose = T21.copy()
+        self.cur_lm_idx = np.full(self.n_feat, -1, np.int32)
+        self.cur_lm_idx[fsel2] = ids
+        self.ref_kf = kf1
+        self.last_kf_frame = self.frame_id
+        self.new_kf_ids = [kf0, kf1]
+        self._mono_ref = None
         return True
 
     # ------------------------------------------------------------------
@@ -408,7 +516,9 @@ class Tracker:
             )
             idx, _ = _m.mutual_best_match(d, th=_m.TH_LOW, ratio=0.75, check_rotation=False)
             idx = np.asarray(idx)
-            f1 = np.nonzero((idx >= 0) & (depth_np > 0))[0]
+            # depth sensors: 3D-3D rigid hypotheses; mono: 2D-3D DLT PnP
+            has_depth = depth_np > 0 if not self.is_mono else np.ones_like(depth_np, bool)
+            f1 = np.nonzero((idx >= 0) & has_depth)[0]
             if f1.size < 15:
                 continue
             lm = self.map.kf_lm_idx[cand, idx[f1]]
@@ -417,19 +527,29 @@ class Tracker:
             if f1.size < 15:
                 continue
             uv = np.asarray(feats.uv)[f1]
-            z = depth_np[f1]
-            p_cam = np.stack(
-                [(uv[:, 0] - self.cam.cx) / self.cam.fx * z,
-                 (uv[:, 1] - self.cam.cy) / self.cam.fy * z, z], axis=1
-            ).astype(np.float32)
             s2 = (self.cfg.orb.scale_factor ** (2 * np.asarray(feats.octave)[f1])).astype(np.float32)
             self._reloc_key, sub = jax.random.split(self._reloc_key)
-            res = pnp.rigid_pnp_ransac(
-                jnp.asarray(p_cam), jnp.asarray(self.map.lm_pos[lm]),
-                jnp.asarray(uv.astype(np.float32)), jnp.asarray(s2),
-                jnp.ones(len(f1), bool), self.cam, sub,
-            )
-            if int(res.n_inliers) < 15:
+            if self.is_mono:
+                res = pnp.dlt_pnp_ransac(
+                    jnp.asarray(self.map.lm_pos[lm]), jnp.asarray(uv.astype(np.float32)),
+                    jnp.asarray(s2), jnp.ones(len(f1), bool), self.cam, sub,
+                )
+            else:
+                z = depth_np[f1]
+                p_cam = np.stack(
+                    [(uv[:, 0] - self.cam.cx) / self.cam.fx * z,
+                     (uv[:, 1] - self.cam.cy) / self.cam.fy * z, z], axis=1
+                ).astype(np.float32)
+                res = pnp.rigid_pnp_ransac(
+                    jnp.asarray(p_cam), jnp.asarray(self.map.lm_pos[lm]),
+                    jnp.asarray(uv.astype(np.float32)), jnp.asarray(s2),
+                    jnp.ones(len(f1), bool), self.cam, sub,
+                )
+            # reference RANSAC accepts ≥ 10 inliers (SetRansacParameters
+            # minInliers=10, Tracking.cc:3690), refines, then escalates
+            # with a wide SearchByProjection against ALL candidate-KF
+            # landmarks before the 50-inlier final accept (Tracking.cc:3760)
+            if int(res.n_inliers) < 10:
                 continue
             lm_idx = np.full(self.n_feat, -1, np.int32)
             inl = np.asarray(res.inliers)
@@ -437,11 +557,34 @@ class Tracker:
             pose, n_inl, inliers = self._optimize_pose(
                 feats, lm_idx, np.asarray(res.Tcw, np.float32)
             )
-            if n_inl >= 15:
+            if n_inl < 10:
+                continue
+            lm_idx = np.where(inliers, lm_idx, -1)
+            if n_inl < 50:
+                cand_lms = self.map.kf_lm_idx[cand]
+                cand_lms = np.unique(cand_lms[cand_lms >= 0])
+                cand_lms = cand_lms[self.map.lm_valid[cand_lms]]
+                cap = self.n_feat
+                P = np.zeros((cap, 3), np.float32)
+                Pdesc = np.zeros((cap, 8), np.uint32)
+                Poct = np.zeros(cap, np.int32)
+                Pvalid = np.zeros(cap, bool)
+                mm = min(cand_lms.size, cap)
+                P[:mm] = self.map.lm_pos[cand_lms[:mm]]
+                Pdesc[:mm] = self.map.lm_desc[cand_lms[:mm]]
+                Pvalid[:mm] = True
+                extra, _ = self._match_and_bind(
+                    feats, pose, P, Pdesc, Poct, Pvalid,
+                    ids_global=cand_lms[:mm], th=10.0, exclude_bound=lm_idx,
+                )
+                lm_idx = np.where(lm_idx >= 0, lm_idx, extra)
+                pose, n_inl, inliers = self._optimize_pose(feats, lm_idx, pose)
+                lm_idx = np.where(inliers, lm_idx, -1)
+            if n_inl >= 30:
                 self.cur_pose = pose
                 self.last_reloc_frame = self.frame_id
                 self.ref_kf = cand
-                return np.where(inliers, lm_idx, -1), int(n_inl)
+                return lm_idx, int(n_inl)
         return fail
 
     # ------------------------------------------------------------------
@@ -458,7 +601,10 @@ class Tracker:
         non_tracked_close = close & (self.cur_lm_idx < 0)
         need_close = (tracked_close.sum() < 100) and (non_tracked_close.sum() > 70)
 
-        th_ref = 0.75 if self.map.n_kf > 2 else 0.4
+        # reference thRefRatio: mono 0.9, stereo/RGBD 0.75; 0.4 with ≤ 2 KFs
+        th_ref = 0.9 if self.is_mono else 0.75
+        if self.map.n_kf <= 2:
+            th_ref = 0.4
         c1a = self.frame_id >= self.last_kf_frame + self.max_frames
         c1b = self.frame_id >= self.last_kf_frame + self.min_frames
         c1c = n_inl < ref_matches * 0.25 or need_close
@@ -502,6 +648,7 @@ class Tracker:
         self.ref_kf = kf_id
         self.last_kf_frame = self.frame_id
         self.new_kf_id = kf_id
+        self.new_kf_ids = [kf_id]
 
     # ------------------------------------------------------------------
     def _unproject(self, uv: np.ndarray, depth: np.ndarray, Tcw) -> np.ndarray:

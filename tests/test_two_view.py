@@ -10,7 +10,11 @@ from orb_slam3_rgbl_tpu.config import kitti_rgbl_config
 CAM = kitti_rgbl_config().camera
 
 
-def synth_pair(rng, n=300, baseline=0.5, yaw=0.02, noise=0.3, outlier_frac=0.0, planar=False):
+def synth_pair(rng, n=300, baseline=0.9, yaw=0.02, noise=0.3, outlier_frac=0.0, planar=False):
+    # baseline chosen so the 50th-best parallax clears the reconstruction
+    # acceptance gate (reference minParallax = 1.0°): at z ∈ [10, 60] m a
+    # 0.9 m baseline puts ~2/3 of the points above 1°; marginal-parallax
+    # rejection has its own test (test_rejects_pure_rotation)
     if planar:
         pts = np.stack(
             [rng.uniform(-20, 20, n), rng.uniform(-6, 6, n), np.full(n, 25.0)], axis=1
