@@ -19,9 +19,12 @@ from orb_slam3_rgbl_tpu.config import SlamConfig
 from orb_slam3_rgbl_tpu.slam.map_state import MapState
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity equality: fields hold arrays
 class AtlasEntry:
     map: MapState
+    # keyframe database of this map (kept alive for merge detection —
+    # reference Atlas keeps one global KeyFrameDatabase across maps)
+    db: object = None
     # trajectory log segments recorded while this map was active
     traj_rel: list = dataclasses.field(default_factory=list)
     traj_ref_kf: list = dataclasses.field(default_factory=list)

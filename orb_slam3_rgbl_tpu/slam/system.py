@@ -115,12 +115,15 @@ class System:
     def _spawn_components(self, n_feat: int):
         if self.atlas is None:
             self.atlas = Atlas(self.cfg, n_feat)
+        next_frame = self.tracker.frame_id + 1 if self.tracker is not None else 0
         self.map = self.atlas.create_new_map()
-        self.tracker = Tracker(self.cfg, self.map)
+        self.tracker = Tracker(self.cfg, self.map, start_frame_id=next_frame)
         self.mapper = LocalMapper(self.cfg, self.map) if self._enable_mapping else None
         if self.cfg.loop_closing:
             self.loop_closer = LoopCloser(self.cfg, self.map)
             self.tracker.kf_db = self.loop_closer.db
+            # the entry keeps its database alive for later merge detection
+            self.atlas.entries[self.atlas.active_idx].db = self.loop_closer.db
         self._lost_streak = 0
 
     def _track(self, feats, timestamp) -> TrackResult:
@@ -131,7 +134,9 @@ class System:
             if self.mapper is not None and self.map.n_kf > 1 and kf_id == self.tracker.new_kf_ids[-1]:
                 self.mapper.process_keyframe(kf_id)
             if self.loop_closer is not None:
-                self.loop_closer.on_keyframe(kf_id)
+                ev = self.loop_closer.on_keyframe(kf_id)
+                if ev is None:
+                    self._try_merge(kf_id)
 
         # elastic recovery (reference Tracking.cc:2032-2058): persistent
         # LOST with an established map → archive it and start a new one
@@ -147,6 +152,115 @@ class System:
             self.atlas.archive_trajectory(self.tracker)
             self._spawn_components(int(feats.uv.shape[0]))
         return res
+
+    # ------------------------------------------------------------------
+    def _try_merge(self, kf_id: int) -> bool:
+        """Cross-map place recognition + Atlas weld (reference
+        ``NewDetectCommonRegions`` merge branch → ``MergeLocal``,
+        LoopClosing.cc:324-533 / 1215-1782)."""
+        from orb_slam3_rgbl_tpu.slam import merging
+        import jax
+
+        if (self.loop_closer is None or self.atlas.n_maps() < 2
+                or self.map.n_kf < 1):
+            return False
+        qv = self.loop_closer.db.vectors[kf_id]
+        fix_scale = self.cfg.sensor != 0
+        for ei, entry in enumerate(self.atlas.entries):
+            if entry.map is self.map or entry.db is None or entry.map.n_kf < 2:
+                continue
+            scores, shared = entry.db.query(qv, np.zeros(0, np.int64))
+            if shared.max() == 0:
+                continue
+            gate = shared >= max(int(0.8 * shared.max()), 1)
+            cands = np.argsort(-np.where(gate, scores, 0.0))[:3]
+            for cand in cands:
+                if not gate[cand] or scores[cand] <= 0:
+                    continue
+                self.loop_closer._key, sub = jax.random.split(self.loop_closer._key)
+                out = merging.verify_cross_map(
+                    self.cfg, self.map, kf_id, entry.map, int(cand), sub, fix_scale
+                )
+                if out is None:
+                    continue
+                S12, n_inl, fusion = out
+                self._do_merge(ei, kf_id, int(cand), S12, fusion)
+                return True
+        return False
+
+    def _do_merge(self, ei: int, kf_cur: int, kf_cand: int,
+                  S12: np.ndarray, fusion):
+        from orb_slam3_rgbl_tpu.slam import merging
+        from orb_slam3_rgbl_tpu.utils.logging import log
+
+        entry_old = self.atlas.entries[ei]
+        old = entry_old.map
+        active_map_id = self.map.map_id
+        S_w2_w1 = merging.world_alignment(
+            S12, self.map.kf_pose[kf_cur], old.kf_pose[kf_cand]
+        )
+        res = merging.merge_maps(old, self.map, kf_cur, S_w2_w1)
+        # fuse verified duplicates (active-side ids → merged ids first)
+        cur_lms = res.lm_remap[fusion[0]]
+        fuse_remap = merging.apply_fusion(res.map, cur_lms, fusion[1])
+        lm_map = np.where(
+            res.lm_remap >= 0, fuse_remap[np.clip(res.lm_remap, 0, None)], -1
+        ).astype(np.int32)
+
+        # --- weld the trajectory segments --------------------------------
+        self.atlas.archive_trajectory(self.tracker)
+        active_entry = self.atlas.entries[self.atlas.active_idx]
+        s = float(S_w2_w1[7])
+        for Tcr, rk, t, lost in zip(active_entry.traj_rel, active_entry.traj_ref_kf,
+                                    active_entry.traj_time, active_entry.traj_lost):
+            Tcr2 = np.asarray(Tcr, np.float32).copy()
+            Tcr2[4:7] /= s  # relative translation in merged-map metric
+            entry_old.traj_rel.append(Tcr2)
+            entry_old.traj_ref_kf.append(int(res.kf_remap[rk]))
+            entry_old.traj_time.append(t)
+            entry_old.traj_lost.append(lost)
+
+        # --- extend the archived map's database with the new keyframes ---
+        db = entry_old.db
+        if db.vectors.shape[0] < res.map.capacity_kf:
+            grow = res.map.capacity_kf - db.vectors.shape[0]
+            db.vectors = np.concatenate(
+                [db.vectors, np.zeros((grow, db.vectors.shape[1]), db.vectors.dtype)]
+            )
+            db.present = np.concatenate([db.present, np.zeros(grow, bool)])
+        for k in res.appended_kfs:
+            db.add(int(k), res.map.kf_desc[k], res.map.kf_feat_valid[k])
+
+        # --- rebind components to the merged map --------------------------
+        self.map = res.map
+        self.tracker.rebind_after_merge(res.map, res.kf_remap, lm_map, S_w2_w1)
+        self.tracker.traj_rel = list(entry_old.traj_rel)
+        self.tracker.traj_ref_kf = list(entry_old.traj_ref_kf)
+        self.tracker.traj_time = list(entry_old.traj_time)
+        self.tracker.traj_lost = list(entry_old.traj_lost)
+        self.tracker.kf_db = db
+        if self.mapper is not None:
+            self.mapper.map = res.map
+            self.mapper.recent_lm = [
+                (lm_map[np.clip(ids, 0, None)][lm_map[np.clip(ids, 0, None)] >= 0],
+                 int(res.kf_remap[k]) if k < len(res.kf_remap) and res.kf_remap[k] >= 0 else res.map.n_kf - 1)
+                for ids, k in self.mapper.recent_lm
+            ]
+        self.loop_closer.map = res.map
+        self.loop_closer.db = db
+        # suppress immediate re-detection around the weld
+        self.loop_closer.last_loop_kf = res.kf_cur_new
+
+        # --- atlas bookkeeping --------------------------------------------
+        self.atlas.entries.remove(active_entry)
+        self.atlas.active_idx = self.atlas.entries.index(entry_old)
+
+        # --- weld-window bundle adjustment (LoopClosing.cc:1623-1627) ----
+        if self.mapper is not None:
+            res.map.update_landmark_stats(np.array([res.kf_cur_new]))
+            self.mapper.local_bundle_adjustment(res.kf_cur_new)
+        log("MERGE: welded map %d into map %d (%d KFs transported, scale %.4f)"
+            % (active_map_id, old.map_id, len(res.appended_kfs), s))
 
     # ------------------------------------------------------------------
     def _resolve_segment(self, entry) -> np.ndarray:

@@ -55,11 +55,13 @@ class TrackResult:
 
 
 class Tracker:
-    def __init__(self, config: SlamConfig, map_state: MapState):
+    def __init__(self, config: SlamConfig, map_state: MapState,
+                 start_frame_id: int = 0):
         self.cfg = config
         self.cam = config.camera
         self.map = map_state
         self.state = NO_IMAGES_YET
+        self._start_frame_id = start_frame_id
         self.n_feat = None  # set on first frame
         self.kf_db = None   # KeyFrameDatabase, wired by System for reloc
         self._reloc_key = jax.random.PRNGKey(13)
@@ -76,7 +78,10 @@ class Tracker:
         self.ref_kf: int = -1
         self.last_kf_frame: int = -9999
         self.last_reloc_frame: int = -9999
-        self.frame_id: int = -1
+        # frame ids are GLOBAL across atlas maps (the reference's
+        # Frame::nNextId is a static counter) — loop/merge adjacency
+        # gates compare them
+        self.frame_id: int = start_frame_id - 1
         self.inv_sigma2 = np.asarray(
             inv_scale_sigma2(config.orb.n_levels, config.orb.scale_factor)
         )
@@ -689,6 +694,50 @@ class Tracker:
             self.traj_ref_kf.append(max(self.ref_kf, 0))
             self.traj_time.append(timestamp)
             self.traj_lost.append(True)
+
+    # ------------------------------------------------------------------
+    def rebind_after_merge(self, new_map: MapState, kf_remap: np.ndarray,
+                           lm_map: np.ndarray, S_w2_w1: np.ndarray):
+        """Re-express all tracker state in the merged map's frame/ids
+        after an Atlas weld (reference ``MergeLocal`` updates the current
+        frame and the tracker's last-frame pointers the same way,
+        ``LoopClosing.cc:1383-1401``)."""
+        self.map = new_map
+        S = jnp.asarray(S_w2_w1)
+        s = float(S_w2_w1[7])
+        S_w1_w2 = lie.sim3_inv(S)
+
+        def transport(T):
+            return np.asarray(lie.sim3_to_se3(
+                lie.sim3_mul(lie.sim3_from_se3(jnp.asarray(T)), S_w1_w2)
+            ), np.float32)
+
+        self.cur_pose = transport(self.cur_pose)
+        if self.last_pose is not None:
+            self.last_pose = transport(self.last_pose)
+        if self.velocity is not None:
+            # relative pose: rotation invariant, translation rescales
+            v = self.velocity.copy()
+            v[4:7] /= s
+            self.velocity = v
+
+        def remap_lms(idx):
+            if idx is None:
+                return None
+            return np.where(idx >= 0, lm_map[np.clip(idx, 0, None)], -1).astype(np.int32)
+
+        self.last_lm_idx = remap_lms(self.last_lm_idx)
+        if hasattr(self, "cur_lm_idx"):
+            self.cur_lm_idx = remap_lms(self.cur_lm_idx)
+        if self.ref_kf >= 0:
+            self.ref_kf = int(kf_remap[self.ref_kf])
+        # metric depth of the cached last frame rescales with the weld
+        if self.last_feats is not None and s != 1.0:
+            d = np.asarray(self.last_feats.depth)
+            self.last_feats = self.last_feats._replace(
+                depth=jnp.asarray(np.where(d > 0, d / s, d))
+            )
+        self.th_depth_m = self.cam.bf * self.cam.th_depth / self.cam.fx
 
     def trajectory_world(self) -> np.ndarray:
         """Resolve the per-frame relative log into world-frame camera
