@@ -280,6 +280,71 @@ class LocalMapper:
         self.map.version += 1
 
     # ------------------------------------------------------------------
+    def maybe_initialize_imu(self, min_kf: int = 6, min_span_s: float = 1.0,
+                             max_cost: float = 1e3):
+        """3-stage IMU initialization (reference ``LocalMapping::
+        InitializeIMU``, LocalMapping.cc:1173-1428): gyro bias from
+        rotation-only GN, linear gravity/velocity/scale bootstrap, joint
+        refinement — all inside :func:`optim.inertial.imu_initialization`.
+        On success the map is re-expressed gravity-down and metric
+        (``Map::ApplyScaledRotation``) and per-keyframe velocities/biases
+        land in the map arrays. Returns the applied Sim3 (new←old world)
+        or None."""
+        from orb_slam3_rgbl_tpu.config import IMU_MONOCULAR
+        from orb_slam3_rgbl_tpu.optim import inertial
+        from orb_slam3_rgbl_tpu.slam import imu_frontend
+        from orb_slam3_rgbl_tpu.slam import map_state as ms
+        from orb_slam3_rgbl_tpu.imu import preintegration as pre
+
+        m = self.map
+        if not self.cfg.inertial or m.imu_initialized:
+            return None
+        kfs = m.valid_kf_ids()
+        if kfs.size < min_kf:
+            return None
+        if float(m.kf_timestamp[kfs[-1]] - m.kf_timestamp[kfs[0]]) < min_span_s:
+            return None
+        # temporal chain: consecutive valid-KF pairs with a preintegration
+        pairs_ok = np.zeros(kfs.size - 1, bool)
+        preints = []
+        zero = imu_frontend.preint_to_numpy(
+            pre.preintegrate(jnp.zeros((2, 3), jnp.float32), jnp.zeros((2, 3), jnp.float32),
+                             jnp.zeros(2, jnp.float32), jnp.zeros(2, bool), pre.ImuBias.zero())
+        )
+        for i in range(kfs.size - 1):
+            k = int(kfs[i + 1])
+            if k in m.imu_preint and int(m.kf_prev_imu[k]) == int(kfs[i]):
+                pairs_ok[i] = True
+                preints.append(m.imu_preint[k])
+            else:
+                preints.append(zero)
+        if pairs_ok.sum() < min_kf - 1:
+            return None
+
+        T_bc = jnp.asarray(imu_frontend.body_cam_extrinsics(self.cfg)[0])
+        T_bw = lie.se3_mul(T_bc[None, :], jnp.asarray(m.kf_pose[kfs]))
+        Twb = np.asarray(lie.se3_inv(T_bw), np.float32)
+        meas = imu_frontend.stack_preints(preints)
+        fix_scale = self.cfg.sensor != IMU_MONOCULAR
+        out = inertial.imu_initialization(
+            jnp.asarray(Twb), meas, jnp.asarray(pairs_ok), fix_scale=fix_scale,
+        )
+        scale = float(out["scale"])
+        if not np.isfinite(float(out["cost"])) or scale < 1e-2 or scale > 1e2:
+            return None
+
+        # new world: gravity-down, metric — X_new = s · R_gw · X_old
+        q_gw = np.asarray(lie.quat_conj(out["Rwg"]), np.float32)
+        S_align = np.concatenate([q_gw, np.zeros(3, np.float32),
+                                  [np.float32(scale)]]).astype(np.float32)
+        # velocities from the init are metric in the OLD world frame
+        m.kf_vel[kfs] = np.asarray(out["velocities"], np.float32)
+        m.kf_bg[kfs] = np.asarray(out["bias"].bg, np.float32)
+        m.kf_ba[kfs] = np.asarray(out["bias"].ba, np.float32)
+        ms.apply_scaled_rotation(m, S_align, vel_metric_preserved=True)
+        m.imu_initialized = True
+        return S_align
+
     def _keyframe_culling(self, kf_id: int):
         """Reference ``KeyFrameCulling`` (LocalMapping.cc:902-1054): a
         covisible keyframe is redundant if ≥ 90% of its landmarks are seen

@@ -53,6 +53,14 @@ class MapState:
     lm_first_kf: np.ndarray   # (M,) i32 id of first observing KF (culling)
     lm_visible: np.ndarray    # (M,) i32 — times predicted visible
     lm_found: np.ndarray      # (M,) i32 — times actually matched
+    # --- inertial state (reference KeyFrame mVw / mImuBias / mPrevKF) ------
+    kf_vel: np.ndarray = None      # (K, 3) f32 world body velocity
+    kf_bg: np.ndarray = None       # (K, 3) f32 gyro bias
+    kf_ba: np.ndarray = None       # (K, 3) f32 accel bias
+    kf_prev_imu: np.ndarray = None  # (K,) i32 temporal IMU chain (−1 none)
+    # host dict: kf_id → numpy Preintegrated tuple covering prev_imu→kf
+    imu_preint: dict = dataclasses.field(default_factory=dict)
+    imu_initialized: bool = False
     # --- counters ----------------------------------------------------------
     n_kf: int = 0
     n_lm: int = 0
@@ -85,6 +93,10 @@ class MapState:
             lm_first_kf=np.full(M, INVALID, np.int32),
             lm_visible=np.ones(M, np.int32),
             lm_found=np.ones(M, np.int32),
+            kf_vel=np.zeros((K, 3), np.float32),
+            kf_bg=np.zeros((K, 3), np.float32),
+            kf_ba=np.zeros((K, 3), np.float32),
+            kf_prev_imu=np.full(K, INVALID, np.int32),
             map_id=map_id,
         )
 
@@ -288,6 +300,44 @@ class MapState:
         sf = 1.2 ** oct0.astype(np.float32)
         self.lm_max_dist[lm_set] = d_ref * sf
         self.lm_min_dist[lm_set] = self.lm_max_dist[lm_set] / (1.2 ** 7)
+
+
+def apply_scaled_rotation(m: MapState, S_new_old: np.ndarray,
+                          vel_metric_preserved: bool = False):
+    """Re-express the whole map in a new world frame
+    ``X_new = s·R·X_old + t`` in place (reference
+    ``Map::ApplyScaledRotation`` — used after IMU initialization to align
+    gravity with −z and fix the monocular scale).
+
+    Velocities rotate; when ``vel_metric_preserved`` the stored
+    velocities are already metric (IMU-init output) and only rotate,
+    otherwise they rescale with the map.
+    """
+    import jax.numpy as jnp
+
+    S = jnp.asarray(S_new_old, jnp.float32)
+    s = float(S_new_old[7])
+    kfs = m.valid_kf_ids()
+    if kfs.size:
+        Sp = lie.sim3_mul(lie.sim3_from_se3(jnp.asarray(m.kf_pose[kfs])),
+                          lie.sim3_inv(S)[None, :])
+        m.kf_pose[kfs] = np.asarray(lie.sim3_to_se3(Sp), np.float32)
+        d = m.kf_depth[kfs]
+        uu = m.kf_uv[kfs][..., 0]
+        ur = m.kf_ur[kfs]
+        m.kf_depth[kfs] = np.where(d > 0, d * s, d)
+        m.kf_ur[kfs] = np.where((ur >= 0) & (d > 0), uu - (uu - ur) / s, ur)
+        q = S[:4]
+        v = np.asarray(lie.quat_rotate(q[None, :], jnp.asarray(m.kf_vel[kfs])), np.float32)
+        m.kf_vel[kfs] = v if vel_metric_preserved else v * s
+    lms = np.nonzero(m.lm_valid)[0]
+    if lms.size:
+        m.lm_pos[lms] = np.asarray(lie.sim3_apply(S, jnp.asarray(m.lm_pos[lms])), np.float32)
+        m.lm_normal[lms] = np.asarray(
+            lie.quat_rotate(jnp.asarray(S[:4])[None, :], jnp.asarray(m.lm_normal[lms])), np.float32)
+        m.lm_max_dist[lms] *= s
+        m.lm_min_dist[lms] *= s
+    m.version += 1
 
 
 def lie_np_centers(poses: np.ndarray) -> np.ndarray:

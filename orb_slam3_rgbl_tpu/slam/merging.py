@@ -155,6 +155,10 @@ def _grow_map(m: MapState, need_kf: int, need_lm: int) -> MapState:
         m.kf_ur = pad(m.kf_ur, gk, fill=-1.0)
         m.kf_feat_valid = pad(m.kf_feat_valid, gk)
         m.kf_lm_idx = pad(m.kf_lm_idx, gk, fill=INVALID)
+        m.kf_vel = pad(m.kf_vel, gk)
+        m.kf_bg = pad(m.kf_bg, gk)
+        m.kf_ba = pad(m.kf_ba, gk)
+        m.kf_prev_imu = pad(m.kf_prev_imu, gk, fill=INVALID)
     if gl:
         m.lm_pos = pad(m.lm_pos, gl)
         m.lm_valid = pad(m.lm_valid, gl)
@@ -211,21 +215,36 @@ def merge_maps(old: MapState, active: MapState, ev_kf_cur: int,
     old.kf_uv[new_kf_ids] = active.kf_uv[kfs]
     old.kf_octave[new_kf_ids] = active.kf_octave[kfs]
     old.kf_desc[new_kf_ids] = active.kf_desc[kfs]
-    # depth / pseudo-stereo are metric in w1: rescale into w2 metric
+    # depth / pseudo-stereo are metric in w1; w2 units are s× w1 units
+    # (X_w2 = s·R·X_w1 + t), so metric quantities transport as ·s
     d = active.kf_depth[kfs]
-    old.kf_depth[new_kf_ids] = np.where(d > 0, d / s, d)
-    old.kf_ur[new_kf_ids] = active.kf_ur[kfs]
+    old.kf_depth[new_kf_ids] = np.where(d > 0, d * s, d)
+    ur = active.kf_ur[kfs]
+    uu = active.kf_uv[kfs][..., 0]
+    old.kf_ur[new_kf_ids] = np.where((ur >= 0) & (d > 0), uu - (uu - ur) / s, -1.0)
     old.kf_feat_valid[new_kf_ids] = active.kf_feat_valid[kfs]
     tbl = active.kf_lm_idx[kfs]
     old.kf_lm_idx[new_kf_ids] = np.where(tbl >= 0, lm_remap[np.clip(tbl, 0, None)], INVALID)
+    # inertial chain: velocities rotate + rescale into w2 units; the
+    # preintegration dicts re-key through the id remap
+    old.kf_vel[new_kf_ids] = s * np.asarray(
+        lie.quat_rotate(q[None, :], jnp.asarray(active.kf_vel[kfs])), np.float32)
+    old.kf_bg[new_kf_ids] = active.kf_bg[kfs]
+    old.kf_ba[new_kf_ids] = active.kf_ba[kfs]
+    prev = active.kf_prev_imu[kfs]
+    old.kf_prev_imu[new_kf_ids] = np.where(prev >= 0, kf_remap[np.clip(prev, 0, None)], INVALID)
+    for k_old, k_new in zip(kfs, new_kf_ids):
+        if int(k_old) in active.imu_preint:
+            old.imu_preint[int(k_new)] = active.imu_preint[int(k_old)]
+    old.imu_initialized = old.imu_initialized or active.imu_initialized
 
     # --- block copy landmarks ----------------------------------------------
     old.lm_pos[new_lm_ids] = new_lm_pos
     old.lm_valid[new_lm_ids] = True
     old.lm_desc[new_lm_ids] = active.lm_desc[lms]
     old.lm_normal[new_lm_ids] = new_normals
-    old.lm_max_dist[new_lm_ids] = active.lm_max_dist[lms] / s
-    old.lm_min_dist[new_lm_ids] = active.lm_min_dist[lms] / s
+    old.lm_max_dist[new_lm_ids] = active.lm_max_dist[lms] * s
+    old.lm_min_dist[new_lm_ids] = active.lm_min_dist[lms] * s
     old.lm_ref_kf[new_lm_ids] = kf_remap[np.clip(active.lm_ref_kf[lms], 0, None)]
     old.lm_first_kf[new_lm_ids] = kf_remap[np.clip(active.lm_first_kf[lms], 0, None)]
     old.lm_visible[new_lm_ids] = active.lm_visible[lms]

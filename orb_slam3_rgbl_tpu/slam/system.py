@@ -78,16 +78,18 @@ class System:
         )
         return self._track(feats, timestamp)
 
-    def track_rgbd(self, gray: np.ndarray, depth_img: np.ndarray, timestamp: float) -> TrackResult:
+    def track_rgbd(self, gray: np.ndarray, depth_img: np.ndarray, timestamp: float,
+                   imu: Optional[np.ndarray] = None) -> TrackResult:
         """RGB + dense depth image — ``System::TrackRGBD``."""
         feats = self._extract(gray)
         feats = frame_mod.attach_depth_map(
             feats, jnp.asarray(depth_img, jnp.float32), self.cam.bf,
             depth_factor=1.0,
         )
-        return self._track(feats, timestamp)
+        return self._track(feats, timestamp, imu=imu)
 
-    def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray, timestamp: float) -> TrackResult:
+    def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray, timestamp: float,
+                     imu: Optional[np.ndarray] = None) -> TrackResult:
         """Rectified stereo pair — ``System::TrackStereo``
         (reference ``System.cc:253``)."""
         feats_l = self._extract(gray_l)
@@ -97,19 +99,26 @@ class System:
             min_disp=0.0, max_disp=self.cam.bf / 0.5,  # z ≥ 0.5 m
             n_levels=self.cfg.orb.n_levels, scale_factor=self.cfg.orb.scale_factor,
         )
-        return self._track(feats, timestamp)
+        return self._track(feats, timestamp, imu=imu)
 
-    def track_monocular(self, gray: np.ndarray, timestamp: float) -> TrackResult:
+    def track_monocular(self, gray: np.ndarray, timestamp: float,
+                        imu: Optional[np.ndarray] = None) -> TrackResult:
         """Single camera, no depth — ``System::TrackMonocular``
         (reference ``System.h:129-135``). The map initializes from two-view
-        reconstruction and is defined up to scale."""
-        feats = self._extract(gray)
-        return self._track(feats, timestamp)
+        reconstruction and is defined up to scale (metric once the IMU
+        initializes in the inertial mode).
 
-    def track_features(self, feats: frame_mod.FrameFeatures, timestamp: float) -> TrackResult:
+        ``imu``: (S, 7) samples ``[t, ax, ay, az, gx, gy, gz]`` since the
+        previous frame (≡ the ``vImuMeas`` argument of the reference
+        entry points)."""
+        feats = self._extract(gray)
+        return self._track(feats, timestamp, imu=imu)
+
+    def track_features(self, feats: frame_mod.FrameFeatures, timestamp: float,
+                       imu: Optional[np.ndarray] = None) -> TrackResult:
         """Feature-level entry point (testing / replaying extracted
         features without images)."""
-        return self._track(feats, timestamp)
+        return self._track(feats, timestamp, imu=imu)
 
     # ------------------------------------------------------------------
     def _spawn_components(self, n_feat: int):
@@ -126,10 +135,10 @@ class System:
             self.atlas.entries[self.atlas.active_idx].db = self.loop_closer.db
         self._lost_streak = 0
 
-    def _track(self, feats, timestamp) -> TrackResult:
+    def _track(self, feats, timestamp, imu: Optional[np.ndarray] = None) -> TrackResult:
         if self.map is None:
             self._spawn_components(int(feats.uv.shape[0]))
-        res = self.tracker.track(feats, timestamp)
+        res = self.tracker.track(feats, timestamp, imu=imu)
         for kf_id in self.tracker.new_kf_ids:
             if self.mapper is not None and self.map.n_kf > 1 and kf_id == self.tracker.new_kf_ids[-1]:
                 self.mapper.process_keyframe(kf_id)
@@ -137,6 +146,22 @@ class System:
                 ev = self.loop_closer.on_keyframe(kf_id)
                 if ev is None:
                     self._try_merge(kf_id)
+        if (self.cfg.inertial and self.mapper is not None
+                and self.tracker.new_kf_ids and not self.map.imu_initialized):
+            S_align = self.mapper.maybe_initialize_imu()
+            if S_align is not None:
+                # re-express tracker state in the gravity-aligned metric
+                # frame (ids unchanged — identity remaps)
+                kf_id_map = np.arange(self.map.capacity_kf, dtype=np.int32)
+                lm_id_map = np.concatenate([
+                    np.arange(self.map.capacity_lm, dtype=np.int32), [-1]
+                ]).astype(np.int32)
+                self.tracker.rebind_after_merge(self.map, kf_id_map, lm_id_map, S_align)
+                self.tracker.cur_vel = self.map.kf_vel[self.tracker.ref_kf].copy()
+                self.tracker.cur_bias = (
+                    self.map.kf_bg[self.tracker.ref_kf].copy(),
+                    self.map.kf_ba[self.tracker.ref_kf].copy(),
+                )
 
         # elastic recovery (reference Tracking.cc:2032-2058): persistent
         # LOST with an established map → archive it and start a new one
@@ -214,7 +239,7 @@ class System:
         for Tcr, rk, t, lost in zip(active_entry.traj_rel, active_entry.traj_ref_kf,
                                     active_entry.traj_time, active_entry.traj_lost):
             Tcr2 = np.asarray(Tcr, np.float32).copy()
-            Tcr2[4:7] /= s  # relative translation in merged-map metric
+            Tcr2[4:7] *= s  # relative translation in merged-map metric
             entry_old.traj_rel.append(Tcr2)
             entry_old.traj_ref_kf.append(int(res.kf_remap[rk]))
             entry_old.traj_time.append(t)

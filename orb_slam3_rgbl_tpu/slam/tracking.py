@@ -29,6 +29,7 @@ from orb_slam3_rgbl_tpu.optim import pose_opt
 from orb_slam3_rgbl_tpu.optim import pnp
 from orb_slam3_rgbl_tpu.slam.frame import FrameFeatures, inv_scale_sigma2
 from orb_slam3_rgbl_tpu.slam.map_state import MapState
+from orb_slam3_rgbl_tpu.slam import imu_frontend
 
 import jax
 
@@ -91,6 +92,16 @@ class Tracker:
         # depth threshold in meters: mThDepth = bf · ThDepth / fx
         # (reference Tracking.cc ParseCamParamFile)
         self.th_depth_m = self.cam.bf * self.cam.th_depth / self.cam.fx
+        # --- inertial frontend (reference GrabImuData/PreintegrateIMU) ---
+        self.inertial = config.inertial
+        if self.inertial:
+            self.T_bc, self.T_cb = imu_frontend.body_cam_extrinsics(config)
+            self._imu_kf_acc = imu_frontend.ImuAccumulator(config)
+            self._last_imu_kf: int = -1
+            self.cur_vel = np.zeros(3, np.float32)       # world body velocity
+            self.cur_bias = (np.zeros(3, np.float32), np.zeros(3, np.float32))
+            self._prev_body_center: Optional[np.ndarray] = None
+            self._prev_body_time: Optional[float] = None
         # trajectory log: relative pose to reference KF per frame
         # (reference Tracking.cc:2336-2360)
         self.traj_rel: list = []
@@ -101,10 +112,14 @@ class Tracker:
         self.max_frames = int(config.fps)
 
     # ------------------------------------------------------------------
-    def track(self, feats: FrameFeatures, timestamp: float) -> TrackResult:
+    def track(self, feats: FrameFeatures, timestamp: float,
+              imu: Optional[np.ndarray] = None) -> TrackResult:
         self.frame_id += 1
         if self.n_feat is None:
             self.n_feat = int(feats.uv.shape[0])
+        if self.inertial and imu is not None:
+            # samples since the previous frame: (S, 7) [t, acc, gyro]
+            self._imu_kf_acc.add(imu)
 
         created_kf = False
         self.new_kf_ids = []
@@ -126,6 +141,17 @@ class Tracker:
                     self.state = RECENTLY_LOST
                 elif self.state == RECENTLY_LOST:
                     self.state = LOST
+
+        if self.inertial and self.state == OK:
+            # pre-init velocity bootstrap: finite-difference body centers
+            # (reference seeds KF velocities the same way before IMU init)
+            c = np.asarray(lie.se3_trans(self._body_pose(self.cur_pose)), np.float32)
+            if (self._prev_body_center is not None and not self.map.imu_initialized
+                    and timestamp > self._prev_body_time):
+                self.cur_vel = (
+                    (c - self._prev_body_center) / (timestamp - self._prev_body_time)
+                ).astype(np.float32)
+            self._prev_body_center, self._prev_body_time = c, timestamp
 
         self._log_trajectory(timestamp)
         self._update_last(feats)
@@ -171,6 +197,9 @@ class Tracker:
         self.ref_kf = kf_id
         self.last_kf_frame = self.frame_id
         self.new_kf_ids = [kf_id]
+        if self.inertial:
+            self._imu_kf_acc.reset()
+            self._last_imu_kf = kf_id
         return True
 
     # ------------------------------------------------------------------
@@ -184,6 +213,9 @@ class Tracker:
         if self._mono_ref is None:
             if valid.sum() > 100:
                 self._mono_ref = (feats, timestamp)
+                if self.inertial:
+                    # IMU window for KF0→KF1 starts at the init reference
+                    self._imu_kf_acc.reset()
             return False
         if valid.sum() <= 100:
             self._mono_ref = None
@@ -202,6 +234,8 @@ class Tracker:
         if f1.size < 100:
             # too few matches: the reference drops the init frame and waits
             self._mono_ref = (feats, timestamp)
+            if self.inertial:
+                self._imu_kf_acc.reset()
             return False
         f2 = idx[f1]
 
@@ -265,6 +299,16 @@ class Tracker:
         self.ref_kf = kf1
         self.last_kf_frame = self.frame_id
         self.new_kf_ids = [kf0, kf1]
+        if self.inertial:
+            from orb_slam3_rgbl_tpu.imu.preintegration import ImuBias
+
+            meas = self._imu_kf_acc.preintegrate(
+                ImuBias(jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32)))
+            if meas is not None:
+                self.map.imu_preint[kf1] = imu_frontend.preint_to_numpy(meas)
+                self.map.kf_prev_imu[kf1] = kf0
+            self._imu_kf_acc.reset()
+            self._last_imu_kf = kf1
         self._mono_ref = None
         return True
 
@@ -293,20 +337,110 @@ class Tracker:
                 return False, 0
 
         lm_idx, n_inl = self._track_local_map(feats, lm_idx)
+        if self._imu_ready():
+            # visual-inertial refinement against the last keyframe
+            # (reference PoseInertialOptimizationLastKeyFrame path of
+            # TrackLocalMap, Tracking.cc:3019-3036)
+            vi_inl = self._vi_refine(feats, lm_idx)
+            if vi_inl > 0:
+                n_inl = vi_inl
         self.cur_lm_idx = lm_idx
         # acceptance (reference Tracking.cc:3064-3096): ≥ 30 inliers
-        # (50 right after relocalization)
+        # (50 right after relocalization; inertial modes accept ≥ 15)
         need = 50 if self.frame_id < self.last_reloc_frame + self.max_frames else 30
+        if self.inertial and self.map.imu_initialized:
+            need = 15
         return n_inl >= need, n_inl
 
     # ------------------------------------------------------------------
     def _predict_pose(self) -> np.ndarray:
+        if self._imu_ready():
+            p = self._predict_pose_imu()
+            if p is not None:
+                return p
         if self.velocity is None or self.last_pose is None:
             return self.cur_pose
         return np.asarray(
             lie.se3_mul(jnp.asarray(self.velocity), jnp.asarray(self.last_pose)),
             np.float32,
         )
+
+    # --- inertial helpers ---------------------------------------------
+    def _imu_ready(self) -> bool:
+        return (self.inertial and self.map.imu_initialized
+                and self._last_imu_kf >= 0 and self._imu_kf_acc.n >= 2)
+
+    def _kf_vi_state(self, k: int):
+        """VIState of keyframe k from map arrays (body frame)."""
+        from orb_slam3_rgbl_tpu.optim.inertial import VIState
+        from orb_slam3_rgbl_tpu.imu.preintegration import ImuBias
+
+        T_bw = lie.se3_mul(jnp.asarray(self.T_bc), jnp.asarray(self.map.kf_pose[k]))
+        return VIState(
+            Twb=lie.se3_inv(T_bw),
+            vw=jnp.asarray(self.map.kf_vel[k]),
+            bias=ImuBias(jnp.asarray(self.map.kf_bg[k]), jnp.asarray(self.map.kf_ba[k])),
+        )
+
+    def _body_pose(self, Tcw: np.ndarray) -> jnp.ndarray:
+        return lie.se3_inv(lie.se3_mul(jnp.asarray(self.T_bc), jnp.asarray(Tcw)))
+
+    def _cam_pose(self, Twb) -> np.ndarray:
+        return np.asarray(lie.se3_mul(jnp.asarray(self.T_cb), lie.se3_inv(jnp.asarray(Twb))), np.float32)
+
+    def _predict_pose_imu(self) -> Optional[np.ndarray]:
+        """IMU state propagation from the last keyframe
+        (``Tracking::PredictStateIMU``, Tracking.cc:1772)."""
+        from orb_slam3_rgbl_tpu.imu import preintegration as pre
+
+        k = self._last_imu_kf
+        bias = pre.ImuBias(jnp.asarray(self.map.kf_bg[k]), jnp.asarray(self.map.kf_ba[k]))
+        meas = self._imu_kf_acc.preintegrate(bias)
+        if meas is None:
+            return None
+        st = self._kf_vi_state(k)
+        R1, v1, p1 = pre.predict_state(
+            lie.se3_rot(st.Twb), st.vw, lie.se3_trans(st.Twb), meas, bias
+        )
+        self._pred_vel = np.asarray(v1, np.float32)
+        return self._cam_pose(lie.se3(R1, p1))
+
+    def _vi_refine(self, feats: FrameFeatures, lm_idx: np.ndarray) -> int:
+        """15-DoF visual-inertial pose solve of the current frame against
+        the last keyframe's state + preintegration."""
+        from orb_slam3_rgbl_tpu.optim import inertial
+        from orb_slam3_rgbl_tpu.imu import preintegration as pre
+
+        k = self._last_imu_kf
+        prev = self._kf_vi_state(k)
+        meas = self._imu_kf_acc.preintegrate(
+            pre.ImuBias(jnp.asarray(self.map.kf_bg[k]), jnp.asarray(self.map.kf_ba[k]))
+        )
+        if meas is None:
+            return 0
+        bound = lm_idx >= 0
+        Xw = np.zeros((self.n_feat, 3), np.float32)
+        Xw[bound] = self.map.lm_pos[lm_idx[bound]]
+        obs = pose_opt.PoseObs(
+            Xw=jnp.asarray(Xw), uv=feats.uv, u_right=feats.u_right,
+            inv_sigma2=jnp.asarray(
+                self.inv_sigma2[np.clip(np.asarray(feats.octave), 0, len(self.inv_sigma2) - 1)]
+            ),
+            valid=jnp.asarray(bound) & feats.valid,
+        )
+        state0 = inertial.VIState(
+            Twb=self._body_pose(self.cur_pose),
+            vw=jnp.asarray(getattr(self, "_pred_vel", self.cur_vel)),
+            bias=prev.bias,
+        )
+        out, n_inl = inertial.inertial_pose_optimize(
+            state0, prev, meas, obs, jnp.asarray(self.T_cb), self.cam
+        )
+        self.cur_pose = self._cam_pose(out.Twb)
+        self.cur_vel = np.asarray(out.vw, np.float32)
+        self.cur_bias = (np.asarray(out.bias.bg, np.float32),
+                         np.asarray(out.bias.ba, np.float32))
+        return int(n_inl)
 
     def _track_with_motion_model(self, feats: FrameFeatures, th: float):
         """Project last frame's landmarks with the constant-velocity
@@ -598,6 +732,15 @@ class Tracker:
         + creation (``CreateNewKeyFrame`` Tracking.cc:3250)."""
         if self.ref_kf < 0:
             return False
+        # inertial temporal-density rules (reference Tracking.cc:3142-3151):
+        # before IMU init insert every 0.25 s so the init window has a
+        # dense preintegration chain; after init every 0.5 s keeps the
+        # chain alive
+        if self.inertial and self._last_imu_kf >= 0:
+            gap = timestamp - float(self.map.kf_timestamp[self._last_imu_kf])
+            if (not self.map.imu_initialized and gap >= 0.25) or gap >= 0.5:
+                self._create_keyframe(feats, timestamp)
+                return True
         ref_matches = int((self.map.kf_lm_idx[self.ref_kf] >= 0).sum())
         depth = np.asarray(feats.depth)
         valid = np.asarray(feats.valid)
@@ -650,6 +793,22 @@ class Tracker:
                 )
                 self.cur_lm_idx[keep] = ids
                 self.map.kf_lm_idx[kf_id, keep] = ids
+        if self.inertial:
+            from orb_slam3_rgbl_tpu.imu.preintegration import ImuBias
+
+            self.map.kf_vel[kf_id] = self.cur_vel
+            self.map.kf_bg[kf_id], self.map.kf_ba[kf_id] = self.cur_bias
+            prev = self._last_imu_kf
+            if prev >= 0:
+                meas = self._imu_kf_acc.preintegrate(
+                    ImuBias(jnp.asarray(self.map.kf_bg[prev]),
+                            jnp.asarray(self.map.kf_ba[prev]))
+                )
+                if meas is not None:
+                    self.map.imu_preint[kf_id] = imu_frontend.preint_to_numpy(meas)
+                    self.map.kf_prev_imu[kf_id] = prev
+            self._imu_kf_acc.reset()
+            self._last_imu_kf = kf_id
         self.ref_kf = kf_id
         self.last_kf_frame = self.frame_id
         self.new_kf_id = kf_id
@@ -717,8 +876,9 @@ class Tracker:
             self.last_pose = transport(self.last_pose)
         if self.velocity is not None:
             # relative pose: rotation invariant, translation rescales
+            # (merged-map units are s× active-map units)
             v = self.velocity.copy()
-            v[4:7] /= s
+            v[4:7] *= s
             self.velocity = v
 
         def remap_lms(idx):
@@ -731,11 +891,18 @@ class Tracker:
             self.cur_lm_idx = remap_lms(self.cur_lm_idx)
         if self.ref_kf >= 0:
             self.ref_kf = int(kf_remap[self.ref_kf])
+        if self.inertial:
+            q = jnp.asarray(S_w2_w1[:4])
+            self.cur_vel = s * np.asarray(
+                lie.quat_rotate(q, jnp.asarray(self.cur_vel)), np.float32)
+            if self._prev_body_center is not None:
+                self._prev_body_center = np.asarray(
+                    lie.sim3_apply(S, jnp.asarray(self._prev_body_center)), np.float32)
         # metric depth of the cached last frame rescales with the weld
         if self.last_feats is not None and s != 1.0:
             d = np.asarray(self.last_feats.depth)
             self.last_feats = self.last_feats._replace(
-                depth=jnp.asarray(np.where(d > 0, d / s, d))
+                depth=jnp.asarray(np.where(d > 0, d * s, d))
             )
         self.th_depth_m = self.cam.bf * self.cam.th_depth / self.cam.fx
 

@@ -44,6 +44,7 @@ def save_map(path: str, m: MapState):
         "version": m.version,
         "map_id": m.map_id,
         "vocab_checksum": vocabulary_checksum(),
+        "imu_initialized": bool(m.imu_initialized),
     }
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
@@ -66,4 +67,5 @@ def load_map(path: str, strict_vocab: bool = True) -> MapState:
     m.n_lm = int(meta["n_lm"])
     m.version = int(meta["version"])
     m.map_id = int(meta["map_id"])
+    m.imu_initialized = bool(meta.get("imu_initialized", False))
     return m
