@@ -110,6 +110,10 @@ class Tracker:
         self.traj_lost: list = []
         self.min_frames = 0
         self.max_frames = int(config.fps)
+        # localization-only mode (reference mbOnlyTracking, set by
+        # System::ActivateLocalizationMode, System.cc:139-155): track
+        # against the frozen map, never insert keyframes
+        self.only_tracking = False
 
     # ------------------------------------------------------------------
     def track(self, feats: FrameFeatures, timestamp: float,
@@ -730,7 +734,9 @@ class Tracker:
     def _maybe_insert_keyframe(self, feats, timestamp, n_inl) -> bool:
         """Keyframe policy (reference ``NeedNewKeyFrame`` Tracking.cc:3098)
         + creation (``CreateNewKeyFrame`` Tracking.cc:3250)."""
-        if self.ref_kf < 0:
+        if self.ref_kf < 0 or self.only_tracking:
+            # reference NeedNewKeyFrame returns false in localization-only
+            # mode (Tracking.cc:3100-3102)
             return False
         # inertial temporal-density rules (reference Tracking.cc:3142-3151):
         # before IMU init insert every 0.25 s so the init window has a
