@@ -112,3 +112,90 @@ def optimize_pose_graph(
 def relative_sim3(nodes: jax.Array, i, j) -> jax.Array:
     """S_i←j = S_iw · S_jw⁻¹ for edge construction."""
     return lie.sim3_mul(nodes[i], lie.sim3_inv(nodes[j]))
+
+
+# ---------------------------------------------------------------------------
+# 4-DoF variant (inertial maps: gravity observable → roll/pitch/scale fixed)
+# ---------------------------------------------------------------------------
+
+def _edge_residual_right(Si: jax.Array, Sj: jax.Array, Sij: jax.Array,
+                         tau_i: jax.Array, tau_j: jax.Array) -> jax.Array:
+    """Right-perturbed residual: r = log(S_ij · S_jw·exp(τ_j) · (S_iw·exp(τ_i))⁻¹).
+
+    Right-multiplying a world→kf pose perturbs it in the *world* frame, so a
+    tangent with only ω_z rotates the node about the world z (gravity) axis —
+    the yaw-only update of the reference's ``VertexPose4DoF``.
+    """
+    Si_p = lie.sim3_mul(Si, lie.sim3_exp(tau_i))
+    Sj_p = lie.sim3_mul(Sj, lie.sim3_exp(tau_j))
+    return lie.sim3_log(lie.sim3_mul(Sij, lie.sim3_mul(Sj_p, lie.sim3_inv(Si_p))))
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def optimize_pose_graph_4dof(
+    problem: PoseGraphProblem,
+    iterations: int = 20,
+) -> jax.Array:
+    """4-DoF essential-graph GN: optimize translation + yaw-about-gravity only.
+
+    Replaces ``Optimizer::OptimizeEssentialGraph4DoF`` (reference
+    ``Optimizer.cc:5292+``, used by ``LoopClosing::CorrectLoop`` at
+    ``LoopClosing.cc:1183`` once the IMU has made roll/pitch/scale
+    observable). Nodes stay Sim3 (scale untouched, = 1 for inertial maps);
+    the per-node update is δ = (tx, ty, tz, yaw_world).
+    """
+    K = problem.nodes.shape[0]
+    dtype = problem.nodes.dtype
+    # basis (7, 4): columns are [tx, ty, tz, yaw] in sim3 tangent coords
+    B = jnp.zeros((7, 4), dtype).at[0, 0].set(1.0).at[1, 1].set(1.0) \
+        .at[2, 2].set(1.0).at[5, 3].set(1.0)
+    zero4 = jnp.zeros(4, dtype)
+
+    def edge_res4(Si, Sj, Sij, d_i, d_j):
+        return _edge_residual_right(Si, Sj, Sij, B @ d_i, B @ d_j)
+
+    res_fn = jax.vmap(edge_res4, in_axes=(0, 0, 0, None, None))
+    Ji_fn = jax.vmap(
+        lambda Si, Sj, Sij: jax.jacfwd(lambda d: edge_res4(Si, Sj, Sij, d, zero4))(zero4)
+    )
+    Jj_fn = jax.vmap(
+        lambda Si, Sj, Sij: jax.jacfwd(lambda d: edge_res4(Si, Sj, Sij, zero4, d))(zero4)
+    )
+
+    free = (~problem.node_fixed) & problem.node_valid
+    free4 = jnp.repeat(free, 4)
+
+    def body(_, nodes):
+        Si = nodes[problem.edge_i]
+        Sj = nodes[problem.edge_j]
+        r = res_fn(Si, Sj, problem.edge_Sij, zero4, zero4)      # (E, 7)
+        Ji = Ji_fn(Si, Sj, problem.edge_Sij)                     # (E, 7, 4)
+        Jj = Jj_fn(Si, Sj, problem.edge_Sij)
+        w = jnp.where(problem.edge_valid, problem.edge_weight.astype(dtype), jnp.zeros((), dtype))
+
+        oh_i = jax.nn.one_hot(problem.edge_i, K, dtype=dtype)
+        oh_j = jax.nn.one_hot(problem.edge_j, K, dtype=dtype)
+
+        def blocks(oh_a, Ja, oh_b, Jb):
+            return jnp.einsum("ea,erm,e,eb,ern->ambn", oh_a, Ja, w, oh_b, Jb)
+
+        H = (
+            blocks(oh_i, Ji, oh_i, Ji)
+            + blocks(oh_i, Ji, oh_j, Jj)
+            + blocks(oh_j, Jj, oh_i, Ji)
+            + blocks(oh_j, Jj, oh_j, Jj)
+        ).reshape(4 * K, 4 * K)
+        b = (
+            jnp.einsum("ea,erm,e,er->am", oh_i, Ji, w, r)
+            + jnp.einsum("ea,erm,e,er->am", oh_j, Jj, w, r)
+        ).reshape(4 * K)
+
+        H = jnp.where(free4[:, None] & free4[None, :], H, jnp.zeros((), dtype))
+        H = H + jnp.diag(jnp.where(free4, jnp.asarray(1e-6, dtype), jnp.asarray(1.0, dtype)))
+        b = jnp.where(free4, b, jnp.zeros((), dtype))
+        delta = -jnp.linalg.solve(H, b).reshape(K, 4)
+        delta = jnp.where(free[:, None], delta, 0.0)
+        tau = delta @ B.T                                        # (K, 7)
+        return lie.sim3_mul(nodes, lie.sim3_exp(tau))
+
+    return jax.lax.fori_loop(0, iterations, body, problem.nodes)

@@ -184,9 +184,17 @@ class LoopCloser:
             edge_valid=jnp.ones(len(ei), bool),
         )
         if run_pose_graph:
-            new_nodes = np.asarray(pose_graph.optimize_pose_graph(
-                problem, iterations=20, fix_scale=self.fix_scale
-            ))
+            # inertial maps with gravity observable use the 4-DoF variant
+            # (translation + yaw only — reference OptimizeEssentialGraph4DoF,
+            # selected at LoopClosing.cc:1183); otherwise full Sim3/SE3
+            if self.cfg.inertial and m.imu_initialized:
+                new_nodes = np.asarray(pose_graph.optimize_pose_graph_4dof(
+                    problem, iterations=20
+                ))
+            else:
+                new_nodes = np.asarray(pose_graph.optimize_pose_graph(
+                    problem, iterations=20, fix_scale=self.fix_scale
+                ))
         else:
             new_nodes = nodes
 

@@ -319,10 +319,98 @@ class System:
     def save_trajectory_tum(self, path: str):
         traj_io.save_tum(path, self.timestamps(), self.trajectory())
 
+    def save_trajectory_euroc(self, path: str):
+        """``System::SaveTrajectoryEuRoC`` (reference System.cc:804)."""
+        traj_io.save_euroc(path, self.timestamps(), self.trajectory())
+
+    # -- keyframe-only trajectories (SaveKeyFrameTrajectory*, System.h:170-186)
+    def _keyframe_poses(self):
+        """(T, Twc(K,7)) for the active map's valid keyframes."""
+        valid = self.map.valid_kf_ids()
+        Twc = np.asarray(lie.se3_inv(jnp.asarray(self.map.kf_pose[valid])))
+        return self.map.kf_timestamp[valid], Twc
+
+    def save_keyframe_trajectory_kitti(self, path: str):
+        _, Twc = self._keyframe_poses()
+        traj_io.save_kitti(path, Twc)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        t, Twc = self._keyframe_poses()
+        traj_io.save_tum(path, t, Twc)
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        t, Twc = self._keyframe_poses()
+        traj_io.save_euroc(path, t, Twc)
+
+    # -- lifecycle (System.h:139-155) -----------------------------------
+    def activate_localization_mode(self):
+        """Tracking-only / map-frozen mode (``ActivateLocalizationMode``):
+        no new keyframes, no mapping or loop closing — the tracker localizes
+        against the existing map."""
+        if self.tracker is not None:
+            self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        if self.tracker is not None:
+            self.tracker.only_tracking = False
+
+    def reset(self):
+        """Full reset (``System::Reset``): drop the entire Atlas; fresh
+        components materialize on the next frame."""
+        self.atlas = None
+        self.map = None
+        self.tracker = None
+        self.mapper = None
+        self.loop_closer = None
+        self._lost_streak = 0
+
+    def reset_active_map(self):
+        """``System::ResetActiveMap``: archive the active trajectory and
+        restart tracking in a fresh map; other atlas maps stay mergeable."""
+        if self.tracker is None:
+            return
+        n_feat = self.map.kf_desc.shape[1]
+        self.atlas.archive_trajectory(self.tracker)
+        self._spawn_components(n_feat)
+
+    # -- persistence (SaveAtlas/LoadAtlas, System.cc:1545-1650) ---------
     def save_map(self, path: str):
         from orb_slam3_rgbl_tpu.utils import serialization
 
         serialization.save_map(path, self.map)
+
+    def save_atlas(self, path: str):
+        from orb_slam3_rgbl_tpu.utils import serialization
+
+        serialization.save_atlas(path, self.atlas, tracker=self.tracker)
+
+    def load_atlas(self, path: str, strict_vocab: bool = True):
+        """Rebuild all components around a saved Atlas; tracking resumes in
+        relocalization against the restored active map."""
+        from orb_slam3_rgbl_tpu.utils import serialization
+        from orb_slam3_rgbl_tpu.slam.loop_closing import LoopCloser
+
+        self.atlas = serialization.load_atlas(path, self.cfg, strict_vocab=strict_vocab)
+        entry = self.atlas.entries[self.atlas.active_idx]
+        self.map = entry.map
+        next_frame = 0
+        for e in self.atlas.entries:
+            if len(e.traj_time):
+                next_frame += len(e.traj_time)
+        self.tracker = Tracker(self.cfg, self.map, start_frame_id=next_frame)
+        self.tracker.state = trk.LOST  # relocalize on the next frame
+        self.tracker.traj_rel = list(entry.traj_rel)
+        self.tracker.traj_ref_kf = list(entry.traj_ref_kf)
+        self.tracker.traj_time = list(entry.traj_time)
+        self.tracker.traj_lost = list(entry.traj_lost)
+        entry.traj_rel, entry.traj_ref_kf = [], []
+        entry.traj_time, entry.traj_lost = [], []
+        self.mapper = LocalMapper(self.cfg, self.map) if self._enable_mapping else None
+        if self.cfg.loop_closing and entry.db is not None:
+            self.loop_closer = LoopCloser(self.cfg, self.map)
+            self.loop_closer.db = entry.db
+            self.tracker.kf_db = entry.db
+        self._lost_streak = 0
 
     def shutdown(self):
         pass

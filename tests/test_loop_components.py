@@ -174,3 +174,60 @@ class TestPoseGraph:
         np.testing.assert_allclose(out[0], nodes[0], atol=1e-6)
         # chain collapses onto the fixed node
         np.testing.assert_allclose(out[:, 4], 0.0, atol=1e-3)
+
+    def test_4dof_corrects_yaw_drift_preserves_tilt(self, rng):
+        """Inertial variant (OptimizeEssentialGraph4DoF): a yaw+translation
+        drifted chain is corrected by translation/yaw-only updates — the
+        gravity-aligned tilt (roll/pitch) and scale of every node must be
+        left exactly as given."""
+        K = 10
+        gt = [np.asarray(lie.sim3_identity())]
+        step = jnp.asarray([1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+        for _ in range(K - 1):
+            gt.append(np.asarray(lie.sim3_mul(lie.sim3_exp(step), jnp.asarray(gt[-1]))))
+        gt = np.stack(gt)
+
+        # odometry edges with small yaw + translation bias
+        drift = jnp.asarray([0.03, 0.01, 0.0, 0.0, 0.0, 0.02, 0.0])
+        meas = lie.sim3_mul(lie.sim3_exp(step), lie.sim3_exp(drift))
+        nodes, edges_i, edges_j, Sij = [gt[0]], [], [], []
+        for k in range(1, K):
+            nodes.append(np.asarray(lie.sim3_mul(meas, jnp.asarray(nodes[-1]))))
+            edges_i.append(k)
+            edges_j.append(k - 1)
+            Sij.append(np.asarray(meas))
+        nodes = np.stack(nodes)
+
+        S_loop = np.asarray(pose_graph.relative_sim3(jnp.asarray(gt), K - 1, 0))
+        edges_i.append(K - 1)
+        edges_j.append(0)
+        Sij.append(S_loop)
+        E = len(edges_i)
+
+        problem = pose_graph.PoseGraphProblem(
+            nodes=jnp.asarray(nodes.astype(np.float32)),
+            node_fixed=jnp.asarray(np.eye(1, K, 0, dtype=bool)[0]),
+            node_valid=jnp.ones(K, bool),
+            edge_i=jnp.asarray(np.array(edges_i, np.int32)),
+            edge_j=jnp.asarray(np.array(edges_j, np.int32)),
+            edge_Sij=jnp.asarray(np.stack(Sij).astype(np.float32)),
+            edge_weight=jnp.concatenate([jnp.ones(E - 1), jnp.full((1,), 5.0)]).astype(jnp.float32),
+            edge_valid=jnp.ones(E, bool),
+        )
+        out = np.asarray(pose_graph.optimize_pose_graph_4dof(problem, iterations=25))
+
+        def err(a, b):
+            return float(jnp.linalg.norm(lie.sim3_log(
+                lie.sim3_mul(jnp.asarray(a), lie.sim3_inv(jnp.asarray(b))))))
+
+        before = err(nodes[K - 1], gt[K - 1])
+        after = err(out[K - 1], gt[K - 1])
+        assert after < 0.4 * before, (before, after)
+        # scale untouched
+        np.testing.assert_allclose(out[:, 7], nodes[:, 7], atol=1e-6)
+        # rotation update is yaw-only: R_out·R_inᵀ must be a rotation about world z
+        for k in range(K):
+            dq = np.asarray(lie.quat_mul(jnp.asarray(out[k, :4]),
+                                         lie.quat_conj(jnp.asarray(nodes[k, :4]))))
+            w = np.asarray(lie.so3_log(jnp.asarray(dq)))
+            assert np.linalg.norm(w[:2]) < 1e-4, w

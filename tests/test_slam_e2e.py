@@ -71,11 +71,90 @@ class TestEndToEnd:
         sys, gt, results = run_sequence(rng, n_frames=20)
         kitti = tmp_path / "kitti.txt"
         tum = tmp_path / "tum.txt"
+        euroc = tmp_path / "euroc.txt"
         sys.save_trajectory_kitti(str(kitti))
         sys.save_trajectory_tum(str(tum))
+        sys.save_trajectory_euroc(str(euroc))
         rows = np.loadtxt(kitti)
         assert rows.shape == (20, 12)
         tum_rows = np.loadtxt(tum)
         assert tum_rows.shape == (20, 8)
+        assert np.loadtxt(euroc, delimiter=",").shape == (20, 8)
         # first pose ≈ identity
         np.testing.assert_allclose(rows[0].reshape(3, 4)[:, :3], np.eye(3), atol=1e-5)
+
+    def test_keyframe_trajectory_formats(self, rng, tmp_path):
+        sys, gt, results = run_sequence(rng, n_frames=30)
+        n_kf = sys.map.n_kf
+        for name, loader in [
+            ("kf_kitti.txt", lambda p: np.loadtxt(p)),
+            ("kf_tum.txt", lambda p: np.loadtxt(p)),
+            ("kf_euroc.txt", lambda p: np.loadtxt(p, delimiter=",")),
+        ]:
+            path = tmp_path / name
+            getattr(sys, "save_keyframe_trajectory_" + name.split("_")[1].split(".")[0])(str(path))
+            rows = loader(str(path))
+            assert rows.reshape(n_kf, -1).shape[0] == n_kf
+
+
+class TestSystemLifecycle:
+    def test_localization_mode_freezes_map(self, rng):
+        cfg = kitti_rgbl_config()
+        world = SyntheticWorld(rng, cam=cfg.camera, length=40.0)
+        gt = world.trajectory(40, step=0.8)
+        sys = System(cfg)
+        for i in range(20):
+            sys.track_features(world.render(gt[i]), timestamp=i * 0.1)
+        n_kf, n_lm = sys.map.n_kf, sys.map.n_lm
+        sys.activate_localization_mode()
+        res = None
+        for i in range(20, 40):
+            res = sys.track_features(world.render(gt[i]), timestamp=i * 0.1)
+        assert sys.map.n_kf == n_kf and sys.map.n_lm == n_lm
+        assert res.state == trk.OK
+        sys.deactivate_localization_mode()
+        for i in range(30, 40):
+            sys.track_features(world.render(gt[i]), timestamp=(i + 10) * 0.1)
+        assert not sys.tracker.only_tracking
+
+    def test_atlas_save_load_roundtrip_and_resume(self, rng, tmp_path):
+        cfg = kitti_rgbl_config()
+        world = SyntheticWorld(rng, cam=cfg.camera, length=40.0)
+        gt = world.trajectory(40, step=0.8)
+        sys = System(cfg)
+        for i in range(25):
+            sys.track_features(world.render(gt[i]), timestamp=i * 0.1)
+        path = str(tmp_path / "atlas.npz")
+        sys.save_atlas(path)
+        n_kf, n_lm = sys.map.n_kf, sys.map.n_lm
+        n_traj = len(sys.tracker.traj_time)
+
+        sys2 = System(cfg)
+        sys2.load_atlas(path)
+        assert sys2.map.n_kf == n_kf and sys2.map.n_lm == n_lm
+        assert len(sys2.tracker.traj_rel) == n_traj
+        # resume: relocalize against the restored map and keep tracking
+        ok = 0
+        for i in range(25, 40):
+            r = sys2.track_features(world.render(gt[i]), timestamp=i * 0.1)
+            ok += int(r.state == trk.OK)
+        assert ok >= 10, ok
+        assert len(sys2.trajectory()) == n_traj + 15
+
+    def test_reset_and_reset_active_map(self, rng):
+        cfg = kitti_rgbl_config()
+        world = SyntheticWorld(rng, cam=cfg.camera, length=30.0)
+        gt = world.trajectory(24, step=0.8)
+        sys = System(cfg)
+        for i in range(12):
+            sys.track_features(world.render(gt[i]), timestamp=i * 0.1)
+        old_map_id = sys.map.map_id
+        sys.reset_active_map()
+        assert sys.map.map_id != old_map_id and sys.map.n_kf == 0
+        # keeps tracking in the fresh map
+        r = sys.track_features(world.render(gt[12]), timestamp=1.2)
+        assert sys.map.n_kf >= 1
+        sys.reset()
+        assert sys.atlas is None
+        r = sys.track_features(world.render(gt[13]), timestamp=1.3)
+        assert r.state == trk.OK and sys.map.n_kf >= 1
