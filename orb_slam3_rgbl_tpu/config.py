@@ -100,12 +100,41 @@ class ImuConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    """Second camera + extrinsics for true two-camera stereo (the
+    new-format ``Camera2.*`` + ``Stereo.T_c1_c2`` keys parsed by the
+    reference ``Settings``, which precomputes rectification maps
+    M1l..M2r — ``Settings.cc`` / ``include/Settings.h:38-120``)."""
+
+    fx: float = 0.0
+    fy: float = 0.0
+    cx: float = 0.0
+    cy: float = 0.0
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    # row-major 4x4 camera1→camera2-frame transform (T_c1_c2: pose of
+    # cam2 expressed in cam1)
+    T_c1_c2: tuple = (
+        1.0, 0.0, 0.0, 0.0,
+        0.0, 1.0, 0.0, 0.0,
+        0.0, 0.0, 1.0, 0.0,
+        0.0, 0.0, 0.0, 1.0,
+    )
+    needs_rectify: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
 class SlamConfig:
     sensor: int = RGBL
     camera: PinholeCamera = dataclasses.field(default_factory=PinholeCamera)
     orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
     lidar: LidarConfig = dataclasses.field(default_factory=LidarConfig)
     imu: Optional[ImuConfig] = None
+    stereo: Optional[StereoConfig] = None
+    camera_type: str = "PinHole"  # Camera.type: PinHole|Rectified|KannalaBrandt8
     fps: float = 10.0
     rgb_order: bool = True
     depth_map_factor: float = 1000.0
@@ -115,6 +144,12 @@ class SlamConfig:
     max_maps: int = 8
     # system toggles (``System.cc:104-109`` loopClosing flag)
     loop_closing: bool = True
+    # session persistence (System.SaveAtlasToFile/LoadAtlasFromFile,
+    # reference System.cc:84-101)
+    save_atlas_file: Optional[str] = None
+    load_atlas_file: Optional[str] = None
+    # optional trained tree vocabulary (DBoW2 equivalent; None → LSH words)
+    vocab_path: Optional[str] = None
 
     @property
     def inertial(self) -> bool:
@@ -125,32 +160,71 @@ _NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
 
 def parse_opencv_yaml(path: str) -> dict:
-    """Parse the flat ``key: value`` subset of OpenCV YAML used by every
-    reference settings file. Returns {str: float|int|str}."""
+    """Parse the subset of OpenCV YAML used by every reference settings
+    file: flat ``key: value`` lines plus ``!!opencv-matrix`` blocks
+    (``rows/cols/dt/data``), which parse to numpy arrays — the new-format
+    files (``File.version: "1.0"``) use them for ``Stereo.T_c1_c2`` and
+    ``IMU.T_b_c1``. Returns {str: float|int|str|np.ndarray}."""
+    import numpy as _np
+
     out: dict = {}
     with open(path, "r") as f:
-        for line in f:
-            line = line.split("#", 1)[0].rstrip()
-            if not line or line.startswith("%"):
-                continue
-            if ":" not in line:
-                continue
-            key, _, val = line.partition(":")
-            key = key.strip()
-            val = val.strip().strip('"')
-            if not key or not val:
-                continue
-            if _NUM_RE.match(val):
-                num = float(val)
-                out[key] = int(num) if num == int(num) and "." not in val and "e" not in val.lower() else num
-            else:
-                out[key] = val
+        lines = f.readlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].split("#", 1)[0].rstrip()
+        i += 1
+        if not line or line.startswith("%") or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip(), val.strip()
+        if not key:
+            continue
+        if "!!opencv-matrix" in val:
+            rows = cols = 0
+            data: list = []
+            in_data = False
+            while i < len(lines):
+                sub = lines[i].split("#", 1)[0].rstrip()
+                if sub and not sub.startswith((" ", "\t")):
+                    break  # next top-level key
+                i += 1
+                s = sub.strip()
+                if s.startswith("rows:"):
+                    rows = int(s.split(":", 1)[1])
+                elif s.startswith("cols:"):
+                    cols = int(s.split(":", 1)[1])
+                elif s.startswith("data:") or in_data:
+                    in_data = True
+                    payload = s.split(":", 1)[1] if s.startswith("data:") else s
+                    payload = payload.replace("[", " ").replace("]", " ").replace(",", " ")
+                    data.extend(float(x) for x in payload.split())
+                    if len(data) >= rows * cols > 0:
+                        in_data = False
+            if rows * cols > 0 and len(data) >= rows * cols:
+                out[key] = _np.asarray(data[: rows * cols], _np.float64).reshape(rows, cols)
+            continue
+        val = val.strip('"')
+        if not val:
+            continue
+        if _NUM_RE.match(val):
+            num = float(val)
+            out[key] = int(num) if num == int(num) and "." not in val and "e" not in val.lower() else num
+        else:
+            out[key] = val
     return out
 
 
 def load_config(path: str, sensor: int = RGBL) -> SlamConfig:
-    """Build a `SlamConfig` from a reference-format YAML file."""
+    """Build a `SlamConfig` from a reference-format YAML file — both the
+    legacy flat-key generation (``Camera.fx`` …, parsed by
+    ``Tracking::ParseCamParamFile``) and the new ``File.version: "1.0"``
+    generation (``Camera1.*``/``Camera2.*``/``Stereo.T_c1_c2`` matrices,
+    parsed by the reference ``Settings``)."""
+    import numpy as np
+
     kv = parse_opencv_yaml(path)
+    new_format = str(kv.get("File.version", "")) in ("1.0", "1")
 
     def g(key, default=None):
         return kv.get(key, default)
@@ -160,16 +234,34 @@ def load_config(path: str, sensor: int = RGBL) -> SlamConfig:
         fy=float(g("Camera.fy", g("Camera1.fy", 718.856))),
         cx=float(g("Camera.cx", g("Camera1.cx", 607.1928))),
         cy=float(g("Camera.cy", g("Camera1.cy", 185.2157))),
-        k1=float(g("Camera.k1", 0.0)),
-        k2=float(g("Camera.k2", 0.0)),
-        p1=float(g("Camera.p1", 0.0)),
-        p2=float(g("Camera.p2", 0.0)),
-        k3=float(g("Camera.k3", 0.0)),
+        k1=float(g("Camera.k1", g("Camera1.k1", 0.0))),
+        k2=float(g("Camera.k2", g("Camera1.k2", 0.0))),
+        p1=float(g("Camera.p1", g("Camera1.p1", 0.0))),
+        p2=float(g("Camera.p2", g("Camera1.p2", 0.0))),
+        k3=float(g("Camera.k3", g("Camera1.k3", 0.0))),
         width=int(g("Camera.width", 1241)),
         height=int(g("Camera.height", 376)),
         bf=float(g("Camera.bf", 0.0)),
         th_depth=float(g("Stereo.ThDepth", g("ThDepth", 35.0))),
     )
+    stereo = None
+    if new_format and "Camera2.fx" in kv:
+        T = np.asarray(g("Stereo.T_c1_c2", np.eye(4)), np.float64)
+        stereo = StereoConfig(
+            fx=float(g("Camera2.fx")), fy=float(g("Camera2.fy")),
+            cx=float(g("Camera2.cx")), cy=float(g("Camera2.cy")),
+            k1=float(g("Camera2.k1", 0.0)), k2=float(g("Camera2.k2", 0.0)),
+            p1=float(g("Camera2.p1", 0.0)), p2=float(g("Camera2.p2", 0.0)),
+            k3=float(g("Camera2.k3", 0.0)),
+            T_c1_c2=tuple(T.reshape(-1).tolist()),
+            needs_rectify=str(g("Camera.type", "PinHole")) != "Rectified",
+        )
+        if cam.bf == 0.0:
+            # bf from the stereo baseline (Settings computes it from the
+            # rectified projection; ‖t‖·fx is the same quantity)
+            cam = dataclasses.replace(
+                cam, bf=float(np.linalg.norm(T[:3, 3]) * cam.fx)
+            )
     orb = OrbConfig(
         n_features=int(g("ORBextractor.nFeatures", 2000)),
         scale_factor=float(g("ORBextractor.scaleFactor", 1.2)),
@@ -198,8 +290,13 @@ def load_config(path: str, sensor: int = RGBL) -> SlamConfig:
     )
     imu = None
     if sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD) or "IMU.NoiseGyro" in kv:
-        tbc = kv.get("Tbc.data")
+        # legacy flat Tbc.data or new-format IMU.T_b_c1 matrix
+        tbc = g("IMU.T_b_c1", g("Tbc", None))
+        tbc_tuple = ImuConfig.T_body_cam
+        if tbc is not None:
+            tbc_tuple = tuple(np.asarray(tbc, np.float64).reshape(-1).tolist())
         imu = ImuConfig(
+            T_body_cam=tbc_tuple,
             noise_gyro=float(g("IMU.NoiseGyro", 1.7e-4)),
             noise_acc=float(g("IMU.NoiseAcc", 2.0e-3)),
             gyro_walk=float(g("IMU.GyroWalk", 1.9e-5)),
@@ -212,10 +309,14 @@ def load_config(path: str, sensor: int = RGBL) -> SlamConfig:
         orb=orb,
         lidar=lidar,
         imu=imu,
+        stereo=stereo,
+        camera_type=str(g("Camera.type", "PinHole")),
         fps=float(g("Camera.fps", 10.0)),
         rgb_order=bool(g("Camera.RGB", 1)),
         depth_map_factor=float(g("RGBD.DepthMapFactor", 1000.0)),
         loop_closing=bool(g("loopClosing", 1)),
+        save_atlas_file=g("System.SaveAtlasToFile"),
+        load_atlas_file=g("System.LoadAtlasFromFile"),
     )
 
 

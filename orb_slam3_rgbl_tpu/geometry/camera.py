@@ -91,6 +91,28 @@ def unproject(cam: PinholeCamera, uv: jax.Array) -> jax.Array:
     return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
 
 
+def undistort_points(cam: PinholeCamera, uv: jax.Array, iters: int = 8) -> jax.Array:
+    """Distorted pixels (..., 2) → undistorted pixels (..., 2) under the
+    same K — ``Frame::UndistortKeyPoints`` (reference ``Frame.cc:837``,
+    cv::undistortPoints semantics). Fixed-iteration compensation of the
+    radial-tangential model (jittable; identity when no distortion)."""
+    if not cam.has_distortion:
+        return uv
+    xd = (uv[..., 0] - cam.cx) / cam.fx
+    yd = (uv[..., 1] - cam.cy) / cam.fy
+
+    def body(_, xy):
+        x, y = xy
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (cam.k1 + r2 * (cam.k2 + r2 * cam.k3))
+        dx = 2.0 * cam.p1 * x * y + cam.p2 * (r2 + 2.0 * x * x)
+        dy = cam.p1 * (r2 + 2.0 * y * y) + 2.0 * cam.p2 * x * y
+        return ((xd - dx) / radial, (yd - dy) / radial)
+
+    x, y = jax.lax.fori_loop(0, iters, body, (xd, yd))
+    return jnp.stack([cam.fx * x + cam.cx, cam.fy * y + cam.cy], axis=-1)
+
+
 def project_jacobian(cam: PinholeCamera, pts_cam: jax.Array) -> jax.Array:
     """d(u,v)/d(X,Y,Z) for camera-frame points — (..., 2, 3).
 
@@ -174,6 +196,91 @@ def kb8_unproject(cam: KannalaBrandt8Camera, uv: jax.Array, iters: int = 10) -> 
     theta = jax.lax.fori_loop(0, iters, body, d)
     scale = jnp.tan(theta) / d
     return jnp.stack([mx * scale, my * scale, jnp.ones_like(mx)], axis=-1)
+
+
+def kb8_project_jacobian(cam: KannalaBrandt8Camera, pts_cam: jax.Array) -> jax.Array:
+    """(..., 2, 3) ∂uv/∂pt — autodiff mirror of the reference's analytic
+    ``KannalaBrandt8::projectJac``; batched over leading axes."""
+    flat = pts_cam.reshape(-1, 3)
+    J = jax.vmap(jax.jacfwd(lambda p: kb8_project(cam, p)))(flat)
+    return J.reshape(*pts_cam.shape[:-1], 2, 3)
+
+
+def kb8_triangulate_matches(
+    cam_l: KannalaBrandt8Camera,
+    cam_r: KannalaBrandt8Camera,
+    T_lr: jax.Array,
+    uv_l: jax.Array,
+    uv_r: jax.Array,
+    sigma2_l: jax.Array,
+    sigma2_r: jax.Array,
+    unc_th: float = 5.991,
+    min_parallax_cos: float = 0.9998,
+):
+    """Stereo-fisheye triangulation ≡ ``KannalaBrandt8::TriangulateMatches``
+    (reference ``KannalaBrandt8.cpp``, used by the stereo-fisheye ``Frame``
+    ctor): unproject both rays, gate on parallax, DLT-triangulate in the
+    left-camera frame, verify cheirality + reprojection χ² in both views.
+
+    Args:
+      T_lr: (7,) SE3 pose of the *right* camera expressed in the left
+        frame (the reference's ``mTlr``).
+      uv_l, uv_r: (..., 2) matched pixel observations.
+      sigma2_l, sigma2_r: (...,) per-feature scale variances.
+
+    Returns:
+      (X_l (..., 3) point in the left-camera frame, depth_l (...,),
+      valid (...,) bool).
+    """
+    from orb_slam3_rgbl_tpu.geometry import lie, triangulation
+
+    r1 = kb8_unproject(cam_l, uv_l)  # rays, z=1
+    r2 = kb8_unproject(cam_r, uv_r)
+    # parallax between the rays in a common (left) frame
+    R_lr = lie.quat_to_matrix(lie.se3_rot(T_lr))
+    r2_in_l = jnp.einsum("ij,...j->...i", R_lr, r2)
+    cosp = jnp.sum(r1 * r2_in_l, axis=-1) / (
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2_in_l, axis=-1) + 1e-12
+    )
+    # triangulate with world = left-camera frame
+    Tc1w = jnp.broadcast_to(lie.se3_identity(), (*uv_l.shape[:-1], 7))
+    Tc2w = jnp.broadcast_to(lie.se3_inv(T_lr), (*uv_l.shape[:-1], 7))
+    X_l = triangulation.triangulate_dlt(r1, r2, Tc1w, Tc2w)
+    z1 = X_l[..., 2]
+    X_r = lie.se3_apply(lie.se3_inv(T_lr), X_l)
+    z2 = X_r[..., 2]
+    e1 = kb8_project(cam_l, X_l) - uv_l
+    e2 = kb8_project(cam_r, X_r) - uv_r
+    chi1 = jnp.sum(e1 * e1, axis=-1) / jnp.maximum(sigma2_l, 1e-12)
+    chi2 = jnp.sum(e2 * e2, axis=-1) / jnp.maximum(sigma2_r, 1e-12)
+    valid = (
+        (cosp < min_parallax_cos)
+        & (z1 > 0)
+        & (z2 > 0)
+        & (chi1 < unc_th)
+        & (chi2 < unc_th)
+    )
+    return X_l, z1, valid
+
+
+def kb8_epipolar_constrain(
+    cam1: KannalaBrandt8Camera,
+    cam2: KannalaBrandt8Camera,
+    T_12: jax.Array,
+    uv1: jax.Array,
+    uv2: jax.Array,
+    sigma2: jax.Array,
+    unc_th: float = 5.991,
+) -> jax.Array:
+    """Fisheye epipolar gate ≡ ``KannalaBrandt8::epipolarConstrain``
+    (which triangulates and accepts if the match triangulates
+    consistently — lines are curves under fisheye distortion, so the
+    pinhole point-to-line test does not apply)."""
+    _, _, valid = kb8_triangulate_matches(
+        cam1, cam2, T_12, uv1, uv2, sigma2, sigma2, unc_th=unc_th,
+        min_parallax_cos=1.0,  # pure consistency check, no parallax gate
+    )
+    return valid
 
 
 def stereo_depth_from_disparity(cam: PinholeCamera, u_left: jax.Array, u_right: jax.Array) -> jax.Array:

@@ -34,6 +34,9 @@ def triangulate_dlt(xn1: jax.Array, xn2: jax.Array, Tc1w: jax.Array, Tc2w: jax.A
         rows.append(x * P[..., 2, :] - P[..., 0, :])
         rows.append(y * P[..., 2, :] - P[..., 1, :])
     A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
+    # Row normalization: eigh of AᵀA squares the condition number, which
+    # is visibly lossy in f32 on TPU — unit rows keep it tame.
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
     # Smallest right singular vector of A == eigenvector of AᵀA with the
     # smallest eigenvalue; eigh is batched, differentiable and TPU-friendly.
     _, V = jnp.linalg.eigh(jnp.swapaxes(A, -1, -2) @ A)

@@ -153,6 +153,62 @@ def preintegrate(
     return out
 
 
+@jax.jit
+def merge(p1: Preintegrated, p2: Preintegrated) -> Preintegrated:
+    """Compose two consecutive preintegrated segments A→B (``p1``) and
+    B→C (``p2``) into A→C — the keyframe-culling relink of the temporal
+    IMU chain (reference ``Preintegrated::MergePrevious``,
+    ``ImuTypes.cc:237``, which re-integrates stored measurements; here the
+    composition is analytic, exact for the deltas and first-order for the
+    bias Jacobians / covariance — the same order as the recursion itself).
+
+    ``p2`` is first re-linearized to ``p1.bias0`` via its bias Jacobians
+    so the merged segment has a single linearization point.
+    """
+    b = p1.bias0
+    # re-express segment 2 at p1's linearization bias
+    dR2 = delta_rotation(p2, b)
+    dV2 = delta_velocity(p2, b)
+    dP2 = delta_position(p2, b)
+    R1 = lie.quat_to_matrix(p1.dR)
+    R2 = lie.quat_to_matrix(dR2)
+    dt2 = p2.dt
+
+    dR = lie.quat_normalize(lie.quat_mul(p1.dR, dR2))
+    dV = p1.dV + R1 @ dV2
+    dP = p1.dP + p1.dV * dt2 + R1 @ dP2
+
+    # bias Jacobians of the composition (chain rule through R1(bg))
+    hV2 = lie.so3_hat(dV2)
+    hP2 = lie.so3_hat(dP2)
+    JRg = R2.T @ p1.JRg + p2.JRg
+    JVg = p1.JVg - R1 @ hV2 @ p1.JRg + R1 @ p2.JVg
+    JVa = p1.JVa + R1 @ p2.JVa
+    JPg = p1.JPg + p1.JVg * dt2 - R1 @ hP2 @ p1.JRg + R1 @ p2.JPg
+    JPa = p1.JPa + p1.JVa * dt2 + R1 @ p2.JPa
+
+    # covariance: transport segment-1 errors through segment 2 + add seg-2
+    dtype = p1.cov.dtype
+    F = jnp.zeros((9, 9), dtype)
+    F = F.at[0:3, 0:3].set(R2.T)
+    F = F.at[3:6, 0:3].set(-R1 @ hV2)
+    F = F.at[3:6, 3:6].set(jnp.eye(3, dtype=dtype))
+    F = F.at[6:9, 0:3].set(-R1 @ hP2)
+    F = F.at[6:9, 3:6].set(jnp.eye(3, dtype=dtype) * dt2)
+    F = F.at[6:9, 6:9].set(jnp.eye(3, dtype=dtype))
+    G = jnp.zeros((9, 9), dtype)
+    G = G.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype))
+    G = G.at[3:6, 3:6].set(R1)
+    G = G.at[6:9, 6:9].set(R1)
+    cov = F @ p1.cov @ F.T + G @ p2.cov @ G.T
+
+    return Preintegrated(
+        dt=p1.dt + dt2, dR=dR, dV=dV, dP=dP,
+        JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa,
+        cov=cov, bias0=b,
+    )
+
+
 def delta_rotation(p: Preintegrated, bias: ImuBias) -> jax.Array:
     """ΔR corrected to a new gyro bias (reference ``GetDeltaRotation``,
     ``ImuTypes.cc:283``): dR · exp(JRg · δbg)."""

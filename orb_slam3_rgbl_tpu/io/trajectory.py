@@ -4,8 +4,8 @@
   (``System::SaveTrajectoryKITTI``, reference ``System.cc:1348-1405``).
 * TUM: ``timestamp tx ty tz qx qy qz qw``
   (``System::SaveTrajectoryTUM``, ``System.cc:711``).
-* EuRoC: ``timestamp_ns,tx,ty,tz,qw,qx,qy,qz``
-  (``System::SaveTrajectoryEuRoC``, ``System.cc:804``).
+* EuRoC: ``timestamp_ns tx ty tz qx qy qz qw`` (space-separated)
+  (``System::SaveTrajectoryEuRoC``, ``System.cc:904-911``).
 """
 
 from __future__ import annotations
@@ -36,7 +36,10 @@ def save_euroc(path: str, timestamps, poses_twc: np.ndarray):
     with open(path, "w") as f:
         for t, T in zip(timestamps, poses_twc):
             qw, qx, qy, qz, tx, ty, tz = T
-            f.write(f"{int(t*1e9)},{tx:.7f},{ty:.7f},{tz:.7f},{qw:.7f},{qx:.7f},{qy:.7f},{qz:.7f}\n")
+            f.write(
+                f"{t * 1e9:.6f} {tx:.9f} {ty:.9f} {tz:.9f}"
+                f" {qx:.9f} {qy:.9f} {qz:.9f} {qw:.9f}\n"
+            )
 
 
 def load_kitti_poses(path: str) -> np.ndarray:

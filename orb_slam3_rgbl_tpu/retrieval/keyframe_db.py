@@ -20,12 +20,23 @@ from orb_slam3_rgbl_tpu.slam.map_state import MapState
 
 
 class KeyFrameDatabase:
-    def __init__(self, capacity_kf: int):
-        self.vectors = np.zeros((capacity_kf, vocab.VOCAB_SIZE), np.float32)
+    def __init__(self, capacity_kf: int, vocabulary=None):
+        """``vocabulary``: optional trained :class:`~orb_slam3_rgbl_tpu.
+        retrieval.tree_vocab.TreeVocabulary` (the DBoW2-equivalent k-ary
+        tree). Defaults to the dataset-free LSH word scheme of
+        :mod:`~orb_slam3_rgbl_tpu.retrieval.vocab`."""
+        self.vocabulary = vocabulary
+        n_words = vocabulary.n_words if vocabulary is not None else vocab.VOCAB_SIZE
+        self.vectors = np.zeros((capacity_kf, n_words), np.float32)
         self.present = np.zeros(capacity_kf, bool)
 
+    def _bow(self, desc, valid) -> np.ndarray:
+        if self.vocabulary is not None:
+            return np.asarray(self.vocabulary.bow(jnp.asarray(desc), jnp.asarray(valid)))
+        return np.asarray(vocab.bow_vector(jnp.asarray(desc), jnp.asarray(valid)))
+
     def add(self, kf_id: int, desc: np.ndarray, valid: np.ndarray):
-        self.vectors[kf_id] = np.asarray(vocab.bow_vector(jnp.asarray(desc), jnp.asarray(valid)))
+        self.vectors[kf_id] = self._bow(desc, valid)
         self.present[kf_id] = True
 
     def erase(self, kf_id: int):
@@ -88,7 +99,7 @@ class KeyFrameDatabase:
     def detect_relocalization_candidates(self, desc, valid, n_candidates: int = 5) -> np.ndarray:
         """Frame-level query (no covisibility exclusion) for relocalization
         (``DetectRelocalizationCandidates``)."""
-        qv = np.asarray(vocab.bow_vector(jnp.asarray(desc), jnp.asarray(valid)))
+        qv = self._bow(desc, valid)
         scores, shared = self.query(qv, np.zeros(0, np.int64))
         if shared.max() == 0:
             return np.zeros(0, np.int64)

@@ -345,6 +345,42 @@ class LocalMapper:
         m.imu_initialized = True
         return S_align
 
+    def _relink_imu_chain(self, k: int) -> bool:
+        """Before culling keyframe ``k`` in inertial mode, weld its
+        temporal IMU chain: the successor's preintegration absorbs k's
+        (reference KeyFrameCulling inertial branch, LocalMapping.cc:
+        ~990-1040, via ``Preintegrated::MergePrevious``). Returns False
+        when the chain cannot be preserved (then k must be kept) — the
+        reference likewise refuses to cull chain-critical inertial KFs or
+        ones spanning > 3 s."""
+        from orb_slam3_rgbl_tpu.imu.preintegration import merge
+        from orb_slam3_rgbl_tpu.slam import imu_frontend
+
+        m = self.map
+        p = int(m.kf_prev_imu[k])
+        succ = np.nonzero(m.kf_prev_imu[: m.n_kf] == k)[0]
+        if succ.size == 0:
+            # chain tail: tracking still preintegrates against it
+            return False
+        n = int(succ[0])
+        if p < 0 or k not in m.imu_preint or n not in m.imu_preint:
+            return False
+        # time-span gates of LocalMapping.cc:1024: a wide gap is only
+        # acceptable once the IMU is initialized (t<3 s); before that only
+        # rapid-fire keyframes may merge (t<0.5 s)
+        span = float(m.kf_timestamp[n] - m.kf_timestamp[p])
+        if span > (3.0 if m.imu_initialized else 0.5):
+            return False
+        merged = merge(
+            imu_frontend.preint_from_numpy(m.imu_preint[k]),
+            imu_frontend.preint_from_numpy(m.imu_preint[n]),
+        )
+        m.imu_preint[n] = imu_frontend.preint_to_numpy(merged)
+        m.kf_prev_imu[n] = p
+        del m.imu_preint[k]
+        m.kf_prev_imu[k] = -1
+        return True
+
     def _keyframe_culling(self, kf_id: int):
         """Reference ``KeyFrameCulling`` (LocalMapping.cc:902-1054): a
         covisible keyframe is redundant if ≥ 90% of its landmarks are seen
@@ -352,9 +388,17 @@ class LocalMapper:
         neighbors = self.map.best_covisible(kf_id, 20, min_weight=15)
         if neighbors.size == 0:
             return
+        # inertial gates (reference LocalMapping.cc:1012-1019): never thin
+        # the map below the Nd=21 optimizable window, keep the 2 newest
+        inertial = self.cfg.inertial
+        if inertial and self.map.valid_kf_ids().size <= 21:
+            return
+        redundant_th = 0.5 if (inertial and self.cfg.sensor != 3) else 0.9
         counts = self.map.observation_counts()
         for k in neighbors:
             if k == 0:  # keep the origin keyframe
+                continue
+            if inertial and k >= kf_id - 2:
                 continue
             ids = self.map.kf_lm_idx[k]
             sel = ids >= 0
@@ -362,5 +406,7 @@ class LocalMapper:
             if lm.size < 30:
                 continue
             redundant = (counts[lm] >= 4).mean()  # self + 3 others
-            if redundant > 0.9:
+            if redundant > redundant_th:
+                if inertial and not self._relink_imu_chain(int(k)):
+                    continue
                 self.map.remove_keyframe(int(k))

@@ -43,7 +43,12 @@ class LoopCloser:
         self.cfg = config
         self.cam = config.camera
         self.map = map_state
-        self.db = KeyFrameDatabase(map_state.capacity_kf)
+        vocabulary = None
+        if config.vocab_path:
+            from orb_slam3_rgbl_tpu.retrieval.tree_vocab import TreeVocabulary
+
+            vocabulary = TreeVocabulary.load(config.vocab_path)
+        self.db = KeyFrameDatabase(map_state.capacity_kf, vocabulary=vocabulary)
         self.fix_scale = config.sensor != 0  # everything but pure mono
         self.last_loop_kf = -9999
         self.events: list[LoopEvent] = []

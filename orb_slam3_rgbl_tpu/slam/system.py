@@ -33,6 +33,28 @@ from orb_slam3_rgbl_tpu.io import trajectory as traj_io
 
 class System:
     def __init__(self, config: SlamConfig, enable_mapping: bool = True):
+        import dataclasses as _dc
+
+        # image-plane preprocessing (reference System.cc:259-276 /
+        # Settings rectification maps): true two-camera stereo rectifies
+        # the pair; a distorted mono/RGB-D pinhole undistorts *keypoints*
+        # (Frame::UndistortKeyPoints) and works distortion-free downstream
+        self.rectifier = None
+        self._undistort_cam = None
+        if (config.stereo is not None and config.stereo.needs_rectify
+                and config.camera_type == "PinHole"
+                and config.sensor in (1, 4)):  # STEREO, IMU_STEREO
+            from orb_slam3_rgbl_tpu.geometry.rectify import build_rectifier
+
+            self.rectifier = build_rectifier(config)
+            config = _dc.replace(config, camera=self.rectifier.cam_rect)
+        elif config.camera.has_distortion and config.camera_type == "PinHole":
+            self._undistort_cam = config.camera
+            config = _dc.replace(
+                config,
+                camera=_dc.replace(config.camera, k1=0.0, k2=0.0, p1=0.0,
+                                   p2=0.0, k3=0.0),
+            )
         self.cfg = config
         self.cam = config.camera
         self._enable_mapping = enable_mapping
@@ -78,20 +100,42 @@ class System:
         )
         return self._track(feats, timestamp)
 
+    def _undistort_feats(self, feats: frame_mod.FrameFeatures) -> frame_mod.FrameFeatures:
+        """Undistort keypoint coordinates (``Frame::UndistortKeyPoints``)
+        and re-derive the pseudo-stereo coordinate from the undistorted u.
+        No-op for undistorted/rectified inputs."""
+        if self._undistort_cam is None:
+            return feats
+        from orb_slam3_rgbl_tpu.geometry import camera as cam_mod
+
+        uvu = cam_mod.undistort_points(self._undistort_cam, feats.uv)
+        has_d = feats.depth > 0
+        u_right = jnp.where(
+            has_d, uvu[..., 0] - self.cam.bf / jnp.where(has_d, feats.depth, 1.0), -1.0
+        )
+        return feats._replace(uv=uvu, u_right=u_right)
+
     def track_rgbd(self, gray: np.ndarray, depth_img: np.ndarray, timestamp: float,
                    imu: Optional[np.ndarray] = None) -> TrackResult:
-        """RGB + dense depth image — ``System::TrackRGBD``."""
+        """RGB + dense depth image — ``System::TrackRGBD``. Depth samples
+        at the raw (distorted) pixel; geometry uses undistorted
+        coordinates (reference Frame RGBD ctor semantics)."""
         feats = self._extract(gray)
         feats = frame_mod.attach_depth_map(
             feats, jnp.asarray(depth_img, jnp.float32), self.cam.bf,
             depth_factor=1.0,
         )
-        return self._track(feats, timestamp, imu=imu)
+        return self._track(self._undistort_feats(feats), timestamp, imu=imu)
 
     def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray, timestamp: float,
                      imu: Optional[np.ndarray] = None) -> TrackResult:
-        """Rectified stereo pair — ``System::TrackStereo``
-        (reference ``System.cc:253``)."""
+        """Stereo pair — ``System::TrackStereo`` (reference
+        ``System.cc:253``); unrectified calibrated pairs are rectified
+        with the Settings-style precomputed maps first."""
+        if self.rectifier is not None:
+            gray_l, gray_r = self.rectifier.remap(
+                np.asarray(gray_l, np.float32), np.asarray(gray_r, np.float32)
+            )
         feats_l = self._extract(gray_l)
         feats_r = self._extract(gray_r)
         feats = frame_mod.attach_stereo_depth(
@@ -112,7 +156,7 @@ class System:
         previous frame (≡ the ``vImuMeas`` argument of the reference
         entry points)."""
         feats = self._extract(gray)
-        return self._track(feats, timestamp, imu=imu)
+        return self._track(self._undistort_feats(feats), timestamp, imu=imu)
 
     def track_features(self, feats: frame_mod.FrameFeatures, timestamp: float,
                        imu: Optional[np.ndarray] = None) -> TrackResult:
@@ -169,12 +213,18 @@ class System:
             self._lost_streak += 1
         elif res.state == trk.OK:
             self._lost_streak = 0
-        if self._lost_streak > int(self.cfg.fps) and self.map.n_kf >= 10:
-            self.atlas.archive_trajectory(self.tracker)
-            self._spawn_components(int(feats.uv.shape[0]))
-        elif self._lost_streak > int(self.cfg.fps) and self.map.n_kf < 10:
-            # early loss: reset the active map in place (ResetActiveMap)
-            self.atlas.archive_trajectory(self.tracker)
+        if self._lost_streak > int(self.cfg.fps):
+            if self.map.n_kf >= 2:
+                # archive the map + its trajectory segment (stays
+                # mergeable — CreateMapInAtlas). Deliberate deviation from
+                # the reference's n_kf<10 → ResetActiveMap discard
+                # (Tracking.cc:2032-2058): even small fragments are kept
+                # for later welding; never-grown ones are garbage-collected
+                # by Atlas.remove_bad_maps instead of thrown away mid-run.
+                self.atlas.archive_trajectory(self.tracker)
+            else:
+                # nothing usable was mapped — discard (ResetActiveMap)
+                self.atlas.entries.pop(self.atlas.active_idx)
             self._spawn_components(int(feats.uv.shape[0]))
         return res
 
@@ -307,6 +357,8 @@ class System:
         return np.concatenate(segs) if segs else np.zeros((0, 7), np.float32)
 
     def timestamps(self):
+        if self.atlas is None:
+            return []
         self.atlas.archive_trajectory(self.tracker)
         out = []
         for e in self.atlas.entries:
@@ -325,10 +377,18 @@ class System:
 
     # -- keyframe-only trajectories (SaveKeyFrameTrajectory*, System.h:170-186)
     def _keyframe_poses(self):
-        """(T, Twc(K,7)) for the active map's valid keyframes."""
-        valid = self.map.valid_kf_ids()
-        Twc = np.asarray(lie.se3_inv(jnp.asarray(self.map.kf_pose[valid])))
-        return self.map.kf_timestamp[valid], Twc
+        """(T, Twc(K,7)) for the atlas map with the most keyframes
+        (reference ``pBiggerMap`` selection, System.cc:816-828) — after a
+        tracking loss spawns a fresh active map, the established map is
+        still the one exported."""
+        big = self.map
+        if self.atlas is not None:
+            for e in self.atlas.entries:
+                if e.map is not None and e.map.n_kf > big.n_kf:
+                    big = e.map
+        valid = big.valid_kf_ids()
+        Twc = np.asarray(lie.se3_inv(jnp.asarray(big.kf_pose[valid])))
+        return big.kf_timestamp[valid], Twc
 
     def save_keyframe_trajectory_kitti(self, path: str):
         _, Twc = self._keyframe_poses()
@@ -365,12 +425,14 @@ class System:
         self._lost_streak = 0
 
     def reset_active_map(self):
-        """``System::ResetActiveMap``: archive the active trajectory and
-        restart tracking in a fresh map; other atlas maps stay mergeable."""
+        """``System::ResetActiveMap``: discard the active map's data (it is
+        presumed corrupt — reference System.cc discards rather than archives)
+        and restart tracking in a fresh map; other atlas maps are untouched
+        and stay mergeable."""
         if self.tracker is None:
             return
         n_feat = self.map.kf_desc.shape[1]
-        self.atlas.archive_trajectory(self.tracker)
+        self.atlas.entries.pop(self.atlas.active_idx)
         self._spawn_components(n_feat)
 
     # -- persistence (SaveAtlas/LoadAtlas, System.cc:1545-1650) ---------
@@ -406,6 +468,7 @@ class System:
         entry.traj_rel, entry.traj_ref_kf = [], []
         entry.traj_time, entry.traj_lost = [], []
         self.mapper = LocalMapper(self.cfg, self.map) if self._enable_mapping else None
+        self.loop_closer = None  # never let a pre-load instance survive
         if self.cfg.loop_closing and entry.db is not None:
             self.loop_closer = LoopCloser(self.cfg, self.map)
             self.loop_closer.db = entry.db

@@ -156,6 +156,13 @@ def load_atlas(path: str, config, strict_vocab: bool = True):
             db = KeyFrameDatabase.__new__(KeyFrameDatabase)
             db.vectors = data[p + "db_vectors"].copy()
             db.present = data[p + "db_present"].copy()
+            # restore the word scheme the vectors were built with: a
+            # trained tree vocabulary if configured, else the LSH default
+            db.vocabulary = None
+            if getattr(config, "vocab_path", None):
+                from orb_slam3_rgbl_tpu.retrieval.tree_vocab import TreeVocabulary
+
+                db.vocabulary = TreeVocabulary.load(config.vocab_path)
             e.db = db
         e.traj_rel = [r for r in data[p + "traj_rel"]]
         e.traj_ref_kf = [int(x) for x in data[p + "traj_ref_kf"]]

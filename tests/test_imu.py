@@ -125,3 +125,47 @@ class TestPreintegration:
         ev_full = np.linalg.eigvalsh(np.asarray(full.cov))
         assert ev_half.min() >= -1e-12
         assert np.trace(np.asarray(full.cov)) > np.trace(np.asarray(half.cov))
+
+
+class TestMerge:
+    def test_merge_matches_direct(self, rng):
+        """merge(A→B, B→C) must equal integrating A→C directly (the
+        keyframe-culling chain weld, reference MergePrevious)."""
+        S = 60
+        acc = rng.normal(0, 1, (S, 3)).astype(np.float32) + np.array([0, 0, pre.GRAVITY], np.float32)
+        gyr = rng.normal(0, 0.3, (S, 3)).astype(np.float32)
+        dts = np.full(S, 0.01, np.float32)
+        ok = np.ones(S, bool)
+        bias = pre.ImuBias(jnp.asarray([0.01, -0.02, 0.005]), jnp.asarray([0.05, 0.02, -0.03]))
+        full = pre.preintegrate(jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts), jnp.asarray(ok), bias)
+        h = S // 2
+        p1 = pre.preintegrate(jnp.asarray(acc[:h]), jnp.asarray(gyr[:h]), jnp.asarray(dts[:h]), jnp.asarray(ok[:h]), bias)
+        p2 = pre.preintegrate(jnp.asarray(acc[h:]), jnp.asarray(gyr[h:]), jnp.asarray(dts[h:]), jnp.asarray(ok[h:]), bias)
+        m = pre.merge(p1, p2)
+        for f in ("dt", "dR", "dV", "dP", "JRg", "JVg", "JVa", "JPg", "JPa"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(m, f)), np.asarray(getattr(full, f)),
+                atol=5e-4, err_msg=f,
+            )
+        cov_f, cov_m = np.asarray(full.cov), np.asarray(m.cov)
+        assert np.abs(cov_f - cov_m).max() <= 1e-3 * max(np.abs(cov_f).max(), 1e-12)
+
+    def test_merge_relinearizes_second_segment(self, rng):
+        """Segments integrated at different biases still merge correctly
+        (first-order in the bias delta)."""
+        S = 60
+        acc = rng.normal(0, 1, (S, 3)).astype(np.float32) + np.array([0, 0, pre.GRAVITY], np.float32)
+        gyr = rng.normal(0, 0.3, (S, 3)).astype(np.float32)
+        dts = np.full(S, 0.01, np.float32)
+        ok = np.ones(S, bool)
+        bias = pre.ImuBias(jnp.asarray([0.01, -0.02, 0.005]), jnp.asarray([0.05, 0.02, -0.03]))
+        full = pre.preintegrate(jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts), jnp.asarray(ok), bias)
+        h = S // 2
+        p1 = pre.preintegrate(jnp.asarray(acc[:h]), jnp.asarray(gyr[:h]), jnp.asarray(dts[:h]), jnp.asarray(ok[:h]), bias)
+        p2 = pre.preintegrate(jnp.asarray(acc[h:]), jnp.asarray(gyr[h:]), jnp.asarray(dts[h:]), jnp.asarray(ok[h:]), pre.ImuBias.zero())
+        m = pre.merge(p1, p2)
+        for f in ("dR", "dV", "dP"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(m, f)), np.asarray(getattr(full, f)),
+                atol=2e-2, err_msg=f,
+            )

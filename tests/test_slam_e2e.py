@@ -79,7 +79,9 @@ class TestEndToEnd:
         assert rows.shape == (20, 12)
         tum_rows = np.loadtxt(tum)
         assert tum_rows.shape == (20, 8)
-        assert np.loadtxt(euroc, delimiter=",").shape == (20, 8)
+        # EuRoC format is space-separated ts_ns tx ty tz qx qy qz qw
+        # (reference System.cc:904-911)
+        assert np.loadtxt(euroc).shape == (20, 8)
         # first pose ≈ identity
         np.testing.assert_allclose(rows[0].reshape(3, 4)[:, :3], np.eye(3), atol=1e-5)
 
@@ -89,7 +91,7 @@ class TestEndToEnd:
         for name, loader in [
             ("kf_kitti.txt", lambda p: np.loadtxt(p)),
             ("kf_tum.txt", lambda p: np.loadtxt(p)),
-            ("kf_euroc.txt", lambda p: np.loadtxt(p, delimiter=",")),
+            ("kf_euroc.txt", lambda p: np.loadtxt(p)),
         ]:
             path = tmp_path / name
             getattr(sys, "save_keyframe_trajectory_" + name.split("_")[1].split(".")[0])(str(path))

@@ -150,7 +150,12 @@ class TestInertialMonocular:
                                    imu=None if i == 0 else imu_blocks[i - 1])
             states.append(r.state)
         assert sys.map.imu_initialized, "IMU never initialized (mono)"
-        ok_states = [s for s in states[5:]]
+        # mono init waits for ≥ 1° median parallax (reference ReconstructF
+        # minParallax gate) — with this slow forward motion that takes
+        # several frames; require init within 20 and no loss afterwards
+        first_ok = next(i for i, s in enumerate(states) if s == trk.OK)
+        assert first_ok <= 20, [trk.STATE_NAMES[s] for s in states]
+        ok_states = states[first_ok:]
         assert all(s == trk.OK for s in ok_states), [trk.STATE_NAMES[s] for s in states]
         # rigid alignment only — scale must come out of the IMU
         err = aligned_ate(sys, gt, with_scale=False)
