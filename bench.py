@@ -3,8 +3,9 @@
 Measures the complete per-frame hot path of SURVEY.md §3.2 as a single
 jitted XLA program on KITTI-regime inputs (1241×376 gray, ~131k LiDAR
 points, 2000 ORB features, 8 pyramid levels, InverseDilation Diamond-5):
-ORB pyramid extraction + FAST + rBRIEF, LiDAR projection + upsampling,
-MXU descriptor association, and the 4-round robust pose solve.
+ORB pyramid extraction (fused Pallas FAST+blur streaming kernel, Pallas
+one-hot-MXU BRIEF — no gathers), LiDAR projection + upsampling, MXU
+descriptor association, and the 4-round robust pose solve.
 
 Methodology notes (this measurement environment tunnels to the TPU and
 ``block_until_ready`` does not synchronize): all inputs are pre-staged on

@@ -49,7 +49,7 @@ class FrameFeatures(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "n_features", "n_levels", "scale_factor",
-                     "ini_th", "min_th", "cell"),
+                     "ini_th", "min_th", "cell", "brief_mode"),
 )
 def extract_features(
     img: jax.Array,
@@ -61,27 +61,56 @@ def extract_features(
     ini_th: float = 12.0,
     min_th: float = 7.0,
     cell: int = 32,
+    brief_mode: str = "continuous",
 ) -> FrameFeatures:
-    """Grayscale f32 (H, W) image → FrameFeatures (depth fields = −1)."""
+    """Grayscale f32 (H, W) image → FrameFeatures (depth fields = −1).
+
+    ``brief_mode``:
+      * 'continuous' (default) — per-keypoint pattern rotation, the
+        reference/OpenCV semantics on integer-rounded blurred
+        intensities (the reference blurs into *uchar*). On TPU this runs
+        as a Pallas one-hot-MXU kernel (~5× faster than the gather
+        formulation), elsewhere as an XLA gather; both are bit-identical.
+      * 'binned' — NB=30-bin quantized rotation (ORB-paper rBRIEF),
+        marginally cheaper on TPU.
+      * 'legacy' — the original per-level gather path on unrounded f32
+        intensities (kept for A/B tests).
+    """
+    from orb_slam3_rgbl_tpu.ops import brief_pallas
+    from orb_slam3_rgbl_tpu.ops import frontend_pallas
+
+    use_fused_frontend = (
+        frontend_pallas._HAS_PALLAS and jax.default_backend() == "tpu"
+    )
     levels = pyr_ops.build_pyramid(img, height, width, n_levels, scale_factor)
     budgets = fast_ops.features_per_level(n_features, n_levels, scale_factor)
     scales = pyr_ops.level_scales(n_levels, scale_factor)
 
     uvs, resps, octs, angs, descs, valids = [], [], [], [], [], []
+    uv_ints, blurs = [], []
     for l, lv in enumerate(levels):
-        score = fast_ops.fast_score(lv)
+        if use_fused_frontend:
+            score, blurred = frontend_pallas.fast_and_blur(lv)
+        else:
+            score = fast_ops.fast_score(lv)
+            blurred = pyr_ops.gaussian_blur(lv)
         uv_l, resp_l, valid_l = fast_ops.select_keypoints(
             score, budgets[l], cell=cell, ini_th=ini_th, min_th=min_th, margin=19
         )
         ang_l = orb_ops.ic_angle(lv, uv_l)
-        blurred = pyr_ops.gaussian_blur(lv)
-        desc_l = orb_ops.brief_descriptors(blurred, uv_l, ang_l)
+        if brief_mode == "legacy":
+            descs.append(orb_ops.brief_descriptors(blurred, uv_l, ang_l))
+        else:
+            uv_ints.append(uv_l)
+            blurs.append(blurred)
         uvs.append(uv_l.astype(jnp.float32) * scales[l])
         resps.append(resp_l)
         octs.append(jnp.full((budgets[l],), l, jnp.int32))
         angs.append(ang_l)
-        descs.append(desc_l)
         valids.append(valid_l)
+    if brief_mode != "legacy":
+        descs = brief_pallas.descriptors_multilevel(blurs, uv_ints, angs,
+                                                    mode=brief_mode)
 
     n_total = sum(budgets)
     feats = FrameFeatures(

@@ -80,13 +80,16 @@ class LocalMapper:
             self.recent_lm.append((born.copy(), self.map.n_kf))
 
     # ------------------------------------------------------------------
-    def _triangulate_new_points(self, kf_id: int, n_neighbors: int = 10):
+    def _triangulate_new_points(self, kf_id: int, n_neighbors: int = 0):
         """Reference ``CreateNewMapPoints`` (LocalMapping.cc:388-713):
         epipolar-gated matching of unbound features against the best
         covisible keyframes, DLT triangulation, parallax/reprojection/
         positive-depth checks. Depth sensors already provide close points,
         so this adds the *far* structure that stabilizes rotation."""
-        neighbors = self.map.best_covisible(kf_id, n_neighbors, min_weight=15)
+        if n_neighbors <= 0:
+            # mono relies on wide-baseline pairs: nn=30 (LocalMapping.cc:391-394)
+            n_neighbors = 30 if self.is_mono else 10
+        neighbors = self.map.best_covisible(kf_id, n_neighbors, min_weight=1)
         if neighbors.size == 0:
             return
         K1 = jnp.asarray(self.cam.K)

@@ -261,7 +261,10 @@ class Tracker:
         X = np.asarray(res.points, np.float32)
         good = np.asarray(res.is_good) & vm
         sel = np.nonzero(good)[0]
-        if sel.size < 50:
+        # the reference rejects initial maps under 100 points
+        # (CreateInitialMapMonocular: MapPointsInMap()<100 → Reset,
+        # Tracking.cc:2588ff) — a marginal-parallax init dies quickly
+        if sel.size < 100:
             return False
         med = float(np.median(X[sel, 2]))
         if not np.isfinite(med) or med <= 1e-6:

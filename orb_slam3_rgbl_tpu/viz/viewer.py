@@ -60,8 +60,13 @@ def plot_map(map_state: MapState, trajectory: Optional[np.ndarray] = None,
 
 
 def draw_frame(gray: np.ndarray, uv: np.ndarray, valid: np.ndarray,
-               tracked: Optional[np.ndarray] = None, path: str = "frame.png"):
-    """Keypoint overlay (``FrameDrawer::DrawFrame`` equivalent)."""
+               tracked: Optional[np.ndarray] = None, path: str = "frame.png",
+               state: Optional[str] = None, n_kf: Optional[int] = None,
+               n_lm: Optional[int] = None):
+    """Keypoint overlay (``FrameDrawer::DrawFrame`` equivalent): detected
+    keypoints in green, tracked map-point matches as red crosses, and the
+    reference's status bar (state + KF/MP/match counts,
+    ``FrameDrawer.cc:331-369``) as a caption."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -71,10 +76,41 @@ def draw_frame(gray: np.ndarray, uv: np.ndarray, valid: np.ndarray,
     ax.imshow(gray, cmap="gray")
     sel = valid
     ax.scatter(uv[sel, 0], uv[sel, 1], s=6, facecolors="none", edgecolors="lime", lw=0.6)
+    n_matches = 0
     if tracked is not None:
         ax.scatter(uv[tracked, 0], uv[tracked, 1], s=6, c="red", marker="+")
+        n_matches = int(np.asarray(tracked).sum())
+    parts = []
+    if state is not None:
+        parts.append(state)
+    if n_kf is not None:
+        parts.append(f"KFs: {n_kf}")
+    if n_lm is not None:
+        parts.append(f"MPs: {n_lm}")
+    parts.append(f"Matches: {n_matches}")
+    ax.set_title(" | ".join(parts), fontsize=9, loc="left")
     ax.set_axis_off()
     fig.tight_layout()
     fig.savefig(path, dpi=100)
     plt.close(fig)
     return path
+
+
+def draw_frame_from_system(system, gray: np.ndarray, path: str = "frame.png"):
+    """Convenience: overlay the System's current frame state (the
+    per-frame ``FrameDrawer::Update`` call site, reference
+    ``Tracking.cc:2235``)."""
+    from orb_slam3_rgbl_tpu.slam import tracking as trk
+
+    t = system.tracker
+    if t is None or t.last_feats is None:
+        return draw_frame(gray, np.zeros((0, 2)), np.zeros(0, bool), path=path)
+    feats = t.last_feats
+    return draw_frame(
+        gray, np.asarray(feats.uv), np.asarray(feats.valid),
+        tracked=np.asarray(t.cur_lm_idx >= 0),
+        state=trk.STATE_NAMES.get(t.state, str(t.state)),
+        n_kf=system.map.n_kf if system.map is not None else 0,
+        n_lm=system.map.n_lm if system.map is not None else 0,
+        path=path,
+    )
