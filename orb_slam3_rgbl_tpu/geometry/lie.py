@@ -398,3 +398,60 @@ def sim3_log(S: jax.Array) -> jax.Array:
     W = _sim3_W(w, sigma)
     rho = jnp.linalg.solve(W, t[..., None])[..., 0]
     return jnp.concatenate([rho, w, sigma[..., None]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# numpy mirrors (host control path)
+#
+# The per-frame host logic (pose prediction, velocity update, trajectory
+# logging) touches single (7,) poses; dispatching a jitted kernel + device
+# download for those costs more than the math. These numpy twins keep the
+# host loop allocation-free and device-free. Semantics identical to the
+# jax versions above.
+# ---------------------------------------------------------------------------
+
+def np_quat_mul(q1, q2):
+    import numpy as np
+
+    w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    w2, x2, y2, z2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
+def np_quat_rotate(q, v):
+    import numpy as np
+
+    w = q[..., :1]
+    u = q[..., 1:]
+    uv = np.cross(u, v)
+    return v + 2.0 * (w * uv + np.cross(u, uv))
+
+
+def np_se3_mul(T1, T2):
+    import numpy as np
+
+    q = np_quat_mul(T1[..., :4], T2[..., :4])
+    t = np_quat_rotate(T1[..., :4], T2[..., 4:7]) + T1[..., 4:7]
+    out = np.concatenate([q, t], axis=-1).astype(np.float32)
+    return out
+
+
+def np_se3_inv(T):
+    import numpy as np
+
+    q = T[..., :4] * np.asarray([1.0, -1.0, -1.0, -1.0], np.float32)
+    t = -np_quat_rotate(q, T[..., 4:7])
+    return np.concatenate([q, t], axis=-1).astype(np.float32)
+
+
+def np_se3_centers(Tcw):
+    """Camera centers Ow = −Rᵀt for (..., 7) Tcw arrays."""
+    import numpy as np
+
+    q = Tcw[..., :4] * np.asarray([1.0, -1.0, -1.0, -1.0], np.float32)
+    return (-np_quat_rotate(q, Tcw[..., 4:7])).astype(np.float32)

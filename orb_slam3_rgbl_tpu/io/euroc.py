@@ -77,8 +77,13 @@ class EurocSequence:
         if timestamps_file:
             # reference-style external timestamp list (EuRoC_TimeStamps/*.txt, ns)
             want = np.loadtxt(timestamps_file, dtype=np.int64).reshape(-1) * 1e-9
-            keep = np.searchsorted(self.times, want)
-            keep = keep[(keep < len(self.times))]
+            idx = np.searchsorted(self.times, want)
+            inb = idx < len(self.times)
+            idx, want = idx[inb], want[inb]
+            # drop entries absent from cam0/data.csv instead of silently
+            # selecting the next frame at the insertion index (timestamps
+            # match to ~1 µs; EuRoC stamps are exact ns integers)
+            keep = idx[np.abs(self.times[idx] - want) < 1e-6]
             self.times = self.times[keep]
             self.left = [self.left[i] for i in keep]
             if self.right:

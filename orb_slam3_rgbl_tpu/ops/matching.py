@@ -122,6 +122,8 @@ def windowed_projection_match(
     kp_octave: jax.Array,
     radius: jax.Array,
     th: float = TH_HIGH,
+    proj_angle: jax.Array | None = None,
+    kp_angle: jax.Array | None = None,
 ):
     """Project-and-search association: for each projected map point find
     the best keypoint within its search window and scale band.
@@ -149,6 +151,18 @@ def windowed_projection_match(
     best_j = jnp.argmin(d, axis=1)
     best_d = d[jnp.arange(d.shape[0]), best_j]
     ok = best_d <= th
+    if proj_angle is not None and kp_angle is not None:
+        # rotation-consistency histogram over accepted matches (reference
+        # mbCheckOrientation / ComputeThreeMaxima in SearchByProjection
+        # (Frame, LastFrame) — projections carrying a source keypoint
+        # orientation, e.g. last-frame features, get the same gating)
+        rot = jnp.mod(proj_angle - kp_angle[best_j], 2.0 * jnp.pi)
+        bin_idx = jnp.clip((rot * HISTO_LENGTH / (2.0 * jnp.pi)).astype(jnp.int32),
+                           0, HISTO_LENGTH - 1)
+        hist = jnp.zeros((HISTO_LENGTH,), jnp.int32).at[bin_idx].add(ok.astype(jnp.int32))
+        top3 = jax.lax.top_k(hist, 3)[0]
+        keep_bin = (hist >= jnp.maximum(top3[2], 1)) & (hist > jnp.int32(0.1 * jnp.max(hist)))
+        ok &= keep_bin[bin_idx]
     return jnp.where(ok, best_j, -1).astype(jnp.int32), best_d
 
 

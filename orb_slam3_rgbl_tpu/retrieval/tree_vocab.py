@@ -54,11 +54,16 @@ def _kmedians(desc: np.ndarray, k: int, rng: np.random.Generator,
     """Binary k-medians with k-means++-style seeding (Hamming metric).
     Returns (centers (k, 8) u32, assignment (N,))."""
     n = len(desc)
+    if n == 0:
+        # empty subtree node (duplicate-heavy or tiny image sets): all-zero
+        # children and no assignments — descendants stay empty all the way
+        # down, which transform handles fine (they just never win argmin)
+        return np.zeros((k, 8), np.uint32), np.zeros(0, np.int64)
     if n <= k:
         centers = np.zeros((k, 8), np.uint32)
         centers[:n] = desc
         if n < k:  # pad with perturbed copies so every child is distinct
-            centers[n:] = desc[rng.integers(0, max(n, 1), k - n)] ^ np.uint32(1)
+            centers[n:] = desc[rng.integers(0, n, k - n)] ^ np.uint32(1)
         return centers, np.arange(n) % k
     # ++ seeding
     centers = [desc[rng.integers(n)]]

@@ -1,0 +1,121 @@
+"""Device-resident state manager for the fused tracking step.
+
+The engine's per-frame hot path (``slam/compiled.make_track_step``) is one
+XLA dispatch; this module owns everything that has to stay ON DEVICE
+between frames so the host never round-trips bulk data:
+
+* previous-frame features + their bound landmark positions,
+* the local-map landmark *window* (positions/descriptors/bands of the
+  reference-keyframe covisibility neighborhood — the device image of
+  ``Tracking::UpdateLocalMap``'s point set, Tracking.cc:3461),
+
+refreshed only when ``MapState.version`` changes (keyframe insertion,
+mapping/loop writebacks) — between structural changes the window is
+immutable, replacing the reference's per-frame covisibility scan with a
+per-keyframe gather (and the big map lock with snapshot semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam3_rgbl_tpu.config import SlamConfig
+from orb_slam3_rgbl_tpu.slam import compiled
+from orb_slam3_rgbl_tpu.slam.map_state import MapState
+
+LOCAL_KF_CAP = 80  # reference caps local keyframes at 80 (Tracking.cc:3543)
+
+
+class FastPath:
+    """Owns the jitted step + device-resident inter-frame state."""
+
+    def __init__(self, cfg: SlamConfig, n_feat: int, window_cap: int = 8192):
+        self.cfg = cfg
+        self.n_feat = n_feat
+        self.window_cap = window_cap
+        self.step = jax.jit(compiled.make_track_step(cfg, window_cap=window_cap))
+        self._sync_key = None
+        # host-side id maps for the device windows
+        self.win_ids = np.zeros(0, np.int64)       # window slot → landmark id
+        self.prev_lm_ids: Optional[np.ndarray] = None  # (N,) feature → lm id
+        # device arrays
+        self.win_pos = jnp.zeros((window_cap, 3), jnp.float32)
+        self.win_desc = jnp.zeros((window_cap, 8), jnp.uint32)
+        self.win_maxdist = jnp.ones((window_cap,), jnp.float32)
+        self.win_valid = jnp.zeros((window_cap,), bool)
+        self.prev_uv = jnp.zeros((n_feat, 2), jnp.float32)
+        self.prev_desc = jnp.zeros((n_feat, 8), jnp.uint32)
+        self.prev_oct = jnp.zeros((n_feat,), jnp.int32)
+        self.prev_angle = jnp.zeros((n_feat,), jnp.float32)
+        self.prev_Xw = jnp.zeros((n_feat, 3), jnp.float32)
+        self.prev_bound = jnp.zeros((n_feat,), bool)
+
+    # ------------------------------------------------------------------
+    def ready(self, m: MapState, last_lm_idx: Optional[np.ndarray]) -> bool:
+        return m.n_kf >= 1 and last_lm_idx is not None
+
+    def sync(self, m: MapState, ref_kf: int, last_feats, last_lm_idx: np.ndarray):
+        """Refresh window + previous-frame device state iff the map
+        version moved (≈ once per keyframe / mapping event)."""
+        if (id(m), m.version) == self._sync_key:
+            return
+        # --- window: landmarks of the ref-KF covisibility neighborhood ---
+        kfs = [ref_kf] + [int(k) for k in m.best_covisible(ref_kf, LOCAL_KF_CAP,
+                                                           min_weight=1)]
+        tbl = m.kf_lm_idx[kfs]
+        ids = np.unique(tbl[tbl >= 0])
+        ids = ids[m.lm_valid[ids]][: self.window_cap]
+        LW = self.window_cap
+        pos = np.zeros((LW, 3), np.float32)
+        desc = np.zeros((LW, 8), np.uint32)
+        maxd = np.ones(LW, np.float32)
+        valid = np.zeros(LW, bool)
+        n = ids.size
+        pos[:n] = m.lm_pos[ids]
+        desc[:n] = m.lm_desc[ids]
+        maxd[:n] = m.lm_max_dist[ids]
+        valid[:n] = True
+        self.win_ids = ids
+        self.win_pos = jnp.asarray(pos)
+        self.win_desc = jnp.asarray(desc)
+        self.win_maxdist = jnp.asarray(maxd)
+        self.win_valid = jnp.asarray(valid)
+
+        # --- previous frame: rebind to current landmark state ------------
+        lm = np.asarray(last_lm_idx)
+        bound = (lm >= 0) & m.lm_valid[np.clip(lm, 0, None)]
+        Xw = np.zeros((self.n_feat, 3), np.float32)
+        Xw[bound] = m.lm_pos[lm[bound]]
+        self.prev_uv = jnp.asarray(np.asarray(last_feats.uv, np.float32))
+        self.prev_desc = jnp.asarray(np.asarray(last_feats.desc))
+        self.prev_oct = jnp.asarray(np.asarray(last_feats.octave, np.int32))
+        self.prev_angle = jnp.asarray(np.asarray(last_feats.angle, np.float32))
+        self.prev_Xw = jnp.asarray(Xw)
+        self.prev_bound = jnp.asarray(bound)
+        self.prev_lm_ids = np.where(bound, lm, -1).astype(np.int32)
+        self._sync_key = (id(m), m.version)
+
+    # ------------------------------------------------------------------
+    def run(self, img, points, cloud_valid,
+            Tcw_pred: np.ndarray) -> compiled.TrackStepOut:
+        return self.step(
+            img, points, cloud_valid, jnp.asarray(Tcw_pred, jnp.float32),
+            self.prev_uv, self.prev_desc, self.prev_oct, self.prev_angle,
+            self.prev_Xw, self.prev_bound,
+            self.win_pos, self.win_desc, self.win_maxdist, self.win_valid,
+        )
+
+    def advance(self, out: compiled.TrackStepOut, cur_lm_idx: np.ndarray):
+        """Roll the device inter-frame state forward after an accepted
+        fused step (no host→device transfer — all outputs stay resident)."""
+        self.prev_uv = out.feats.uv
+        self.prev_desc = out.feats.desc
+        self.prev_oct = out.feats.octave
+        self.prev_angle = out.feats.angle
+        self.prev_Xw = out.next_Xw
+        self.prev_bound = out.next_bound
+        self.prev_lm_ids = cur_lm_idx

@@ -89,7 +89,10 @@ def extract_features(
     uvs, resps, octs, angs, descs, valids = [], [], [], [], [], []
     uv_ints, blurs = [], []
     for l, lv in enumerate(levels):
-        if use_fused_frontend:
+        # pyramid levels smaller than the kernel halos (reflect-101 pad of
+        # CHALO=64 cols / HALO=8 rows) take the XLA path
+        if use_fused_frontend and lv.shape[0] > frontend_pallas.HALO \
+                and lv.shape[1] > frontend_pallas.CHALO:
             score, blurred = frontend_pallas.fast_and_blur(lv)
         else:
             score = fast_ops.fast_score(lv)

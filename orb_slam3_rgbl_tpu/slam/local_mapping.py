@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from orb_slam3_rgbl_tpu.config import SlamConfig
@@ -44,10 +45,167 @@ class LocalMapper:
         self.map.update_landmark_stats(np.array([kf_id]))
         self._map_point_culling(kf_id)
         self._triangulate_new_points(kf_id)
+        self._search_in_neighbors(kf_id)
         min_kf_for_ba = 2 if self.is_mono else 3
         if run_ba and self.map.n_kf >= min_kf_for_ba:
             self.local_bundle_adjustment(kf_id)
         self._keyframe_culling(kf_id)
+
+    # ------------------------------------------------------------------
+    def _fuse_into(self, kf: int, lm_ids: np.ndarray, counts: np.ndarray,
+                   remap: np.ndarray, cap: int, th: float = 3.0) -> int:
+        """``ORBmatcher::Fuse`` (reference ORBmatcher.cc Fuse overloads):
+        project the landmarks into keyframe ``kf``; a windowed descriptor
+        match (radius th·scale, TH_LOW) either BINDS an unbound feature or
+        REPLACES a duplicate landmark (keep the one with more
+        observations — ``MapPoint::Replace``). Mutates ``remap``/bindings;
+        returns the number of fusions+bindings."""
+        m = self.map
+        lm_ids = lm_ids[: cap]
+        n = lm_ids.size
+        if n == 0:
+            return 0
+        P = np.zeros((cap, 3), np.float32)
+        Pdesc = np.zeros((cap, 8), np.uint32)
+        Pvalid = np.zeros(cap, bool)
+        Pmaxd = np.ones(cap, np.float32)
+        P[:n] = m.lm_pos[lm_ids]
+        Pdesc[:n] = m.lm_desc[lm_ids]
+        Pmaxd[:n] = m.lm_max_dist[lm_ids]
+        Pvalid[:n] = True
+
+        Tcw = jnp.asarray(m.kf_pose[kf])
+        pc = np.asarray(lie.se3_apply(Tcw, jnp.asarray(P)))
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = self.cam.fx * pc[:, 0] / z + self.cam.cx
+            v = self.cam.fy * pc[:, 1] / z + self.cam.cy
+        in_img = (u >= 0) & (u < self.cam.width) & (v >= 0) & (v < self.cam.height)
+        Pvalid &= (z > 0.1) & np.nan_to_num(in_img, nan=False)
+        # predicted octave from the scale-invariance band (PredictScale)
+        center = np.asarray(lie.se3_trans(lie.se3_inv(Tcw)))
+        dist = np.linalg.norm(P - center[None, :], axis=-1)
+        ratio = Pmaxd / np.maximum(dist, 1e-6)
+        sf = self.cfg.orb.scale_factor
+        Poct = np.clip(np.ceil(np.log(np.maximum(ratio, 1e-6)) / np.log(sf)),
+                       0, self.cfg.orb.n_levels - 1).astype(np.int32)
+        radius = (th * sf ** Poct).astype(np.float32)
+
+        proj_uv = np.stack([np.nan_to_num(u), np.nan_to_num(v)], 1).astype(np.float32)
+        idx, d = matching.windowed_projection_match(
+            jnp.asarray(proj_uv), jnp.asarray(Pvalid), jnp.asarray(Pdesc),
+            jnp.asarray(Poct), jnp.asarray(m.kf_uv[kf]),
+            jnp.asarray(m.kf_feat_valid[kf]), jnp.asarray(m.kf_desc[kf]),
+            jnp.asarray(m.kf_octave[kf].astype(np.int32)), jnp.asarray(radius),
+            th=matching.TH_LOW,
+        )
+        idx = np.asarray(idx)
+        d = np.asarray(d)
+        hit = np.nonzero(idx >= 0)[0]
+        if hit.size == 0:
+            return 0
+        # feature-wise collision resolution: closest projection wins
+        order = hit[np.argsort(d[hit], kind="stable")]
+        feats_of = idx[order]
+        first = np.unique(feats_of, return_index=True)[1]
+        win_p, win_f = order[first], feats_of[first]
+
+        src = lm_ids[win_p]
+        tgt = m.kf_lm_idx[kf, win_f]
+        n_ops = 0
+        # unbound features → new observation of the projected landmark
+        free = tgt < 0
+        if free.any():
+            m.kf_lm_idx[kf, win_f[free]] = src[free]
+            n_ops += int(free.sum())
+        # bound to a different landmark → Replace (more observations wins)
+        dup = (~free) & (tgt != src)
+        if dup.any():
+            a, b = src[dup], tgt[dup]          # a = projected, b = resident
+            keep_a = counts[a] >= counts[b]
+            winner = np.where(keep_a, a, b)
+            loser = np.where(keep_a, b, a)
+            fresh = loser != winner
+            remap[loser[fresh]] = winner[fresh]
+            n_ops += int(fresh.sum())
+        return n_ops
+
+    def _search_in_neighbors(self, kf_id: int):
+        """Reference ``LocalMapping::SearchInNeighbors``
+        (LocalMapping.cc:714-824): two-hop covisible duplicate fusion —
+        project the new keyframe's landmarks into its extended neighborhood
+        and the neighborhood's landmarks back, merging duplicates via
+        ``MapPoint::Replace`` and adding missed observations (this is what
+        grows covisibility weights and observation counts after
+        triangulation)."""
+        m = self.map
+        nn = 20 if self.is_mono else 10
+        hop1 = m.best_covisible(kf_id, nn, min_weight=1)
+        targets = set(int(k) for k in hop1)
+        for k in hop1[:5]:
+            for k2 in m.best_covisible(int(k), 5, min_weight=1):
+                if int(k2) != kf_id:
+                    targets.add(int(k2))
+        # temporal neighbors too (the reference adds the mPrevKF chain in
+        # inertial mode, LocalMapping.cc:734-744; duplicates between fully
+        # disjoint landmark sets have zero covisibility BY DEFINITION, so
+        # recency is the only edge that can seed their fusion)
+        recent = m.valid_kf_ids()
+        for k in recent[recent < kf_id][-3:]:
+            targets.add(int(k))
+        targets.discard(kf_id)
+        if not targets:
+            return
+        targets = sorted(targets)
+
+        counts = m.observation_counts()
+        remap = np.arange(m.capacity_lm, dtype=np.int32)
+        cap = m.n_features
+        own = m.kf_lm_idx[kf_id]
+        own = np.unique(own[own >= 0])
+        n_ops = 0
+        # forward: this KF's landmarks into every neighbor
+        for k2 in targets:
+            n_ops += self._fuse_into(k2, own, counts, remap, cap)
+        # backward: the neighborhood's landmarks into this KF
+        back = m.kf_lm_idx[np.asarray(targets)]
+        back = np.unique(back[back >= 0])
+        back = back[~np.isin(back, own)]
+        n_ops += self._fuse_into(kf_id, back, counts, remap, 2 * cap)
+
+        # apply Replace remaps globally (path-compress chains first)
+        changed = remap != np.arange(m.capacity_lm, dtype=np.int32)
+        if changed.any():
+            for _ in range(4):
+                nxt = remap[remap]
+                if np.array_equal(nxt, remap):
+                    break
+                remap = nxt
+            bound = m.kf_lm_idx >= 0
+            m.kf_lm_idx[bound] = remap[m.kf_lm_idx[bound]]
+            # a keyframe may now bind the merged landmark at two feature
+            # slots — keep one observation per (KF, landmark)
+            valid_kfs = m.valid_kf_ids()
+            tbl = m.kf_lm_idx[valid_kfs]
+            order = np.argsort(tbl, axis=1, kind="stable")
+            st = np.take_along_axis(tbl, order, 1)
+            dup = (st[:, 1:] == st[:, :-1]) & (st[:, 1:] >= 0)
+            if dup.any():
+                rows, cols = np.nonzero(dup)
+                m.kf_lm_idx[valid_kfs[rows], order[rows, cols + 1]] = -1
+            losers = np.nonzero(remap != np.arange(m.capacity_lm, dtype=np.int32))[0]
+            winners = remap[losers]
+            # Replace merges the visibility statistics (MapPoint::Replace)
+            np.add.at(m.lm_found, winners, m.lm_found[losers])
+            np.add.at(m.lm_visible, winners, m.lm_visible[losers])
+            m.lm_valid[losers] = False
+            m.lm_gen[losers] += 1
+            m.lm_free.extend(int(i) for i in losers)
+        if n_ops:
+            # refresh distinctive descriptors / normals / depth bands of
+            # everything touched (reference updates per fused point)
+            m.update_landmark_stats(np.concatenate([[kf_id], np.asarray(targets)]))
+            m.version += 1
 
     # ------------------------------------------------------------------
     def _map_point_culling(self, kf_id: int):
@@ -105,7 +263,7 @@ class LocalMapper:
             lm_here = lm_here[lm_here >= 0]
             if lm_here.size == 0:
                 return
-            center1 = np.asarray(lie.se3_trans(lie.se3_inv(T1)))
+            center1 = lie.np_se3_centers(self.map.kf_pose[kf_id])
             med_depth = float(np.median(
                 np.linalg.norm(self.map.lm_pos[lm_here] - center1[None, :], axis=-1)
             ))
@@ -116,8 +274,9 @@ class LocalMapper:
         for k2 in neighbors:
             T2 = jnp.asarray(self.map.kf_pose[k2])
             # baseline check: skip if baseline too small vs median depth
-            b = np.asarray(lie.se3_trans(lie.se3_mul(T1, lie.se3_inv(T2))))
-            baseline = float(np.linalg.norm(b))
+            baseline = float(np.linalg.norm(
+                lie.np_se3_centers(self.map.kf_pose[kf_id])
+                - lie.np_se3_centers(self.map.kf_pose[k2])))
             if baseline < min_baseline:
                 continue
             unbound2 = (self.map.kf_lm_idx[k2] < 0) & self.map.kf_feat_valid[k2]
@@ -136,26 +295,39 @@ class LocalMapper:
             sigma2 = 1.2 ** (2 * self.map.kf_octave[k2].astype(np.float32))
             gate = np.asarray(ep_d2) < 3.84 * sigma2[None, :]
             d = jnp.where(jnp.asarray(gate), d, 256.0)
-            idx, dist = matching.mutual_best_match(d, th=matching.TH_LOW, ratio=0.8, check_rotation=False)
+            idx, dist = matching.mutual_best_match(
+                d, jnp.asarray(self.map.kf_angle[kf_id]),
+                jnp.asarray(self.map.kf_angle[k2]),
+                th=matching.TH_LOW, ratio=0.8, check_rotation=True)
             idx = np.asarray(idx)
-            f1 = np.nonzero(idx >= 0)[0]
-            if f1.size == 0:
+            matched = idx >= 0
+            if not matched.any():
                 continue
-            f2 = idx[f1]
-            xn1 = self._unproject_dirs(uv1[f1])
-            xn2 = self._unproject_dirs(uv2[f2])
-            T1b = jnp.broadcast_to(T1, (len(f1), 7))
-            T2b = jnp.broadcast_to(T2, (len(f1), 7))
-            cosp = np.asarray(triangulation.parallax_cos(xn1, xn2, T1b, T2b))
-            X = np.asarray(triangulation.triangulate_dlt(xn1, xn2, T1b, T2b))
-            ok = (cosp > 0) & (cosp < 0.9998) & np.isfinite(X).all(axis=1)
-            ok &= self._reproj_ok(X, T1, uv1[f1], self.map.kf_octave[kf_id][f1])
-            ok &= self._reproj_ok(X, T2, uv2[f2], self.map.kf_octave[k2][f2])
+            # FIXED-shape triangulation over all N feature slots (masked) —
+            # variable-length gathers would recompile the DLT kernel on
+            # every keyframe (shape churn is the #1 TPU-latency killer in
+            # the mapping plane)
+            f2safe = np.where(matched, idx, 0)
+            xn1 = self._unproject_dirs(uv1)
+            xn2 = self._unproject_dirs(uv2[f2safe])
+            N = uv1.shape[0]
+            T1b = jnp.broadcast_to(T1, (N, 7))
+            T2b = jnp.broadcast_to(T2, (N, 7))
+            cosp, X = jax.device_get(
+                (triangulation.parallax_cos(xn1, xn2, T1b, T2b),
+                 triangulation.triangulate_dlt(xn1, xn2, T1b, T2b)))
+            cosp = np.asarray(cosp)
+            X = np.asarray(X)
+            ok = matched & (cosp > 0) & (cosp < 0.9998) & np.isfinite(X).all(axis=1)
+            ok &= self._reproj_ok(X, self.map.kf_pose[kf_id], uv1,
+                                  self.map.kf_octave[kf_id])
+            ok &= self._reproj_ok(X, self.map.kf_pose[k2], uv2[f2safe],
+                                  self.map.kf_octave[k2][f2safe])
             sel = np.nonzero(ok)[0]
             if sel.size == 0:
                 continue
-            f1s, f2s = f1[sel], f2[sel]
-            center = np.asarray(lie.se3_trans(lie.se3_inv(T1)))
+            f1s, f2s = sel, idx[sel]
+            center = lie.np_se3_centers(self.map.kf_pose[kf_id])
             vecs = X[sel] - center[None, :]
             dd = np.linalg.norm(vecs, axis=-1)
             normals = vecs / np.maximum(dd[:, None], 1e-9)
@@ -178,7 +350,8 @@ class LocalMapper:
         return jnp.asarray(np.stack([x, y, np.ones_like(x)], axis=1).astype(np.float32))
 
     def _reproj_ok(self, X, Tcw, uv, octave, chi2=5.991):
-        pc = np.asarray(lie.se3_apply(Tcw, jnp.asarray(X.astype(np.float32))))
+        Tcw = np.asarray(Tcw, np.float32)
+        pc = lie.np_quat_rotate(Tcw[:4], X.astype(np.float32)) + Tcw[4:7]
         z = pc[:, 2]
         with np.errstate(divide="ignore", invalid="ignore"):
             u = self.cam.fx * pc[:, 0] / z + self.cam.cx

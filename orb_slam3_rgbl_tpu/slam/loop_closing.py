@@ -106,7 +106,9 @@ class LoopCloser:
             jnp.asarray(m.kf_desc[kf_id]), jnp.asarray(m.kf_desc[cand]),
             jnp.asarray(b1), jnp.asarray(b2),
         )
-        idx, _ = matching.mutual_best_match(d, th=matching.TH_LOW, ratio=0.75, check_rotation=False)
+        idx, _ = matching.mutual_best_match(
+            d, jnp.asarray(m.kf_angle[kf_id]), jnp.asarray(m.kf_angle[cand]),
+            th=matching.TH_LOW, ratio=0.75, check_rotation=True)
         idx = np.asarray(idx)
         f1 = np.nonzero(idx >= 0)[0]
         if f1.size < 20:

@@ -53,6 +53,10 @@ class MapState:
     lm_first_kf: np.ndarray   # (M,) i32 id of first observing KF (culling)
     lm_visible: np.ndarray    # (M,) i32 — times predicted visible
     lm_found: np.ndarray      # (M,) i32 — times actually matched
+    # --- late additions (default None → synthesized in __post_init__ so
+    # archives from older format revisions keep loading) ---------------------
+    kf_angle: np.ndarray = None   # (K, N) f32 keypoint orientation (radians)
+    lm_gen: np.ndarray = None     # (M,) i32 slot generation (bumped on free)
     # --- inertial state (reference KeyFrame mVw / mImuBias / mPrevKF) ------
     kf_vel: np.ndarray = None      # (K, 3) f32 world body velocity
     kf_bg: np.ndarray = None       # (K, 3) f32 gyro bias
@@ -63,9 +67,19 @@ class MapState:
     imu_initialized: bool = False
     # --- counters ----------------------------------------------------------
     n_kf: int = 0
-    n_lm: int = 0
+    n_lm: int = 0             # landmark high-water mark (slots ever used)
     version: int = 0
     map_id: int = 0           # Atlas multi-map id this state belongs to
+    # recycled landmark slots (LIFO). Slot reuse is guarded by lm_gen:
+    # consumers holding stale ids compare their remembered generation.
+    lm_free: list = dataclasses.field(default_factory=list)
+
+    def __post_init__(self):
+        # synthesize arrays absent from older archives
+        if self.kf_angle is None:
+            self.kf_angle = np.zeros(self.kf_uv.shape[:2], np.float32)
+        if self.lm_gen is None:
+            self.lm_gen = np.zeros(self.lm_pos.shape[0], np.int32)
 
     # -----------------------------------------------------------------------
     @staticmethod
@@ -117,11 +131,13 @@ class MapState:
 
     # --- keyframe insertion -------------------------------------------------
     def add_keyframe(self, pose, uv, octave, desc, depth, ur, feat_valid, lm_idx,
-                     timestamp: float, frame_id: int) -> int:
+                     timestamp: float, frame_id: int, angle=None) -> int:
         k = self.n_kf
         if k >= self.capacity_kf:
             raise RuntimeError("keyframe capacity exhausted")
         self.kf_pose[k] = pose
+        if angle is not None:
+            self.kf_angle[k] = angle
         self.kf_valid[k] = True
         self.kf_timestamp[k] = timestamp
         self.kf_frame_id[k] = frame_id
@@ -137,14 +153,59 @@ class MapState:
         return k
 
     # --- landmark insertion -------------------------------------------------
+    def _grow_landmarks(self, need: int):
+        """Double landmark capacity until ``need`` fresh slots fit (the
+        reference has no cap at all; here growth is a host-array resize —
+        device windows are gathered views, so no recompile)."""
+        cap = self.capacity_lm
+        new_cap = cap
+        while self.n_lm + need > new_cap:
+            new_cap *= 2
+        if new_cap == cap:
+            return
+        grow = new_cap - cap
+
+        def pad(a, fill=0):
+            ext = np.full((grow,) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, ext])
+
+        self.lm_pos = pad(self.lm_pos)
+        self.lm_valid = pad(self.lm_valid, False)
+        self.lm_desc = pad(self.lm_desc)
+        self.lm_normal = pad(self.lm_normal)
+        self.lm_max_dist = pad(self.lm_max_dist)
+        self.lm_min_dist = pad(self.lm_min_dist)
+        self.lm_ref_kf = pad(self.lm_ref_kf, INVALID)
+        self.lm_first_kf = pad(self.lm_first_kf, INVALID)
+        self.lm_visible = pad(self.lm_visible, 1)
+        self.lm_found = pad(self.lm_found, 1)
+        self.lm_gen = pad(self.lm_gen)
+
+    def refresh_free_list(self):
+        """Rebuild the recycled-slot stack from validity (after load/merge)."""
+        self.lm_free = [int(i) for i in
+                        np.nonzero(~self.lm_valid[: self.n_lm])[0][::-1]]
+
     def add_landmarks(self, pos: np.ndarray, desc: np.ndarray, kf_id: int,
                       feat_idx: np.ndarray, normal: np.ndarray,
                       max_dist: np.ndarray, min_dist: np.ndarray) -> np.ndarray:
-        """Batch-create landmarks observed by (kf_id, feat_idx). Returns ids."""
+        """Batch-create landmarks observed by (kf_id, feat_idx). Returns ids.
+
+        Culled slots are recycled first (``MapPoint`` ids in the reference
+        are never reused, but its maps are pointer graphs; here reuse keeps
+        the arrays dense — stale references are detected via ``lm_gen``),
+        then fresh slots, growing capacity on demand."""
         n = pos.shape[0]
-        ids = np.arange(self.n_lm, self.n_lm + n, dtype=np.int32)
-        if self.n_lm + n > self.capacity_lm:
-            raise RuntimeError("landmark capacity exhausted")
+        n_reuse = min(len(self.lm_free), n)
+        reuse = [self.lm_free.pop() for _ in range(n_reuse)]
+        fresh = n - n_reuse
+        if fresh and self.n_lm + fresh > self.capacity_lm:
+            self._grow_landmarks(fresh)
+        ids = np.asarray(
+            reuse + list(range(self.n_lm, self.n_lm + fresh)), np.int32
+        )
+        self.n_lm += fresh
+        n = ids.shape[0]
         self.lm_pos[ids] = pos
         self.lm_valid[ids] = True
         self.lm_desc[ids] = desc
@@ -156,7 +217,6 @@ class MapState:
         self.lm_visible[ids] = 1
         self.lm_found[ids] = 1
         self.kf_lm_idx[kf_id, feat_idx] = ids
-        self.n_lm += n
         self.version += 1
         return ids
 
@@ -165,16 +225,19 @@ class MapState:
         """Shared-landmark counts between kf_id and every other keyframe
         (reference ``KeyFrame::UpdateConnections``: weight = #shared
         MapPoints, edge kept if ≥ 15)."""
+        w = np.zeros(self.capacity_kf, np.int32)
         lms = self.kf_lm_idx[kf_id]
         lms = lms[lms >= 0]
         if lms.size == 0:
-            return np.zeros(self.capacity_kf, np.int32)
+            return w
         mask = np.zeros(self.capacity_lm, bool)
         mask[lms] = True
-        shared = mask[np.clip(self.kf_lm_idx, 0, self.capacity_lm - 1)] & (self.kf_lm_idx >= 0)
-        w = shared.sum(axis=1).astype(np.int32)
+        # scan only live keyframes: O(n_kf·N), not O(K_cap·N)
+        valid = self.valid_kf_ids()
+        tbl = self.kf_lm_idx[valid]
+        shared = (mask[np.clip(tbl, 0, self.capacity_lm - 1)] & (tbl >= 0)).sum(axis=1)
+        w[valid] = shared.astype(np.int32)
         w[kf_id] = 0
-        w[~self.kf_valid] = 0
         return w
 
     def best_covisible(self, kf_id: int, n: int, min_weight: int = 15) -> np.ndarray:
@@ -235,14 +298,23 @@ class MapState:
         return counts if lm_ids is None else counts[lm_ids]
 
     def remove_landmarks(self, lm_ids: np.ndarray):
-        """SetBadFlag equivalent: unbind everywhere + invalidate."""
+        """SetBadFlag equivalent: unbind everywhere + invalidate; the slot
+        goes on the free list with its generation bumped so any consumer
+        still holding the old id can detect the recycle."""
+        lm_ids = np.unique(np.asarray(lm_ids))
+        lm_ids = lm_ids[self.lm_valid[lm_ids]]
         if len(lm_ids) == 0:
             return
         self.lm_valid[lm_ids] = False
+        self.lm_gen[lm_ids] += 1
+        self.lm_free.extend(int(i) for i in lm_ids)
         bad = np.zeros(self.capacity_lm + 1, bool)
         bad[lm_ids] = True
-        hit = (self.kf_lm_idx >= 0) & bad[np.clip(self.kf_lm_idx, 0, self.capacity_lm - 1)]
-        self.kf_lm_idx[hit] = INVALID
+        valid = self.valid_kf_ids()
+        tbl = self.kf_lm_idx[valid]
+        hit = (tbl >= 0) & bad[np.clip(tbl, 0, self.capacity_lm - 1)]
+        tbl[hit] = INVALID
+        self.kf_lm_idx[valid] = tbl
         self.version += 1
 
     def remove_keyframe(self, kf_id: int):
@@ -341,9 +413,6 @@ def apply_scaled_rotation(m: MapState, S_new_old: np.ndarray,
 
 
 def lie_np_centers(poses: np.ndarray) -> np.ndarray:
-    """Camera centers Ow = −Rᵀt from (…, 7) Tcw arrays (numpy)."""
-    import jax.numpy as jnp
-
-    T = jnp.asarray(poses)
-    centers = lie.se3_trans(lie.se3_inv(T))
-    return np.asarray(centers)
+    """Camera centers Ow = −Rᵀt from (…, 7) Tcw arrays (pure numpy —
+    called from per-keyframe host maintenance; no device dispatch)."""
+    return lie.np_se3_centers(np.asarray(poses))

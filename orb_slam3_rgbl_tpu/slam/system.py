@@ -55,6 +55,18 @@ class System:
                 camera=_dc.replace(config.camera, k1=0.0, k2=0.0, p1=0.0,
                                    p2=0.0, k3=0.0),
             )
+            if config.sensor in (1, 4, RGBL):
+                # stereo without a Camera2 rectifier / RGB-L with a
+                # distorted intrinsic: keypoints are undistorted per frame,
+                # but row-matching (stereo) and the LiDAR projection matrix
+                # still assume a rectified pair — warn loudly
+                from orb_slam3_rgbl_tpu.utils.logging import log
+
+                log("WARNING: distorted PinHole config with sensor %d — "
+                    "keypoints are undistorted per frame, but stereo row "
+                    "matching / LiDAR projection assume rectified geometry; "
+                    "provide rectified input or a Camera2 section"
+                    % config.sensor)
         self.cfg = config
         self.cam = config.camera
         self._enable_mapping = enable_mapping
@@ -66,6 +78,9 @@ class System:
         self.mapper: Optional[LocalMapper] = None
         self.loop_closer: Optional[LoopCloser] = None
         self._lost_streak = 0
+        self._fast = None          # shared FastPath (compiled once per run)
+        self.use_fused = True      # single-dispatch engine loop for RGBL
+        self.timer = None          # optional StageTimer (REGISTER_TIMES)
         self.P_lidar = jnp.asarray(
             depth_ops.lidar_projection_matrix(
                 np.asarray(self.cam.K), np.asarray(config.lidar.T_velo_cam)
@@ -84,10 +99,52 @@ class System:
             min_th=float(self.cfg.orb.min_th_fast),
         )
 
+    CLOUD_CAP = 131072  # fixed LiDAR capacity (shape-stable jit; KITTI ~120k)
+
+    def _pad_cloud(self, pointcloud):
+        """(Np, 3|4) → fixed (CLOUD_CAP, 4) + validity mask. Truncates
+        over-capacity clouds (KITTI peaks ~130k — the tail is far-range
+        returns the min/max-dist gate would reject anyway)."""
+        pc = np.asarray(pointcloud, np.float32)
+        if pc.shape[1] == 3:
+            pc = np.concatenate([pc, np.ones((len(pc), 1), np.float32)], axis=1)
+        n = min(len(pc), self.CLOUD_CAP)
+        out = np.zeros((self.CLOUD_CAP, 4), np.float32)
+        out[:n] = pc[:n]
+        mask = np.zeros(self.CLOUD_CAP, bool)
+        mask[:n] = True
+        return jnp.asarray(out), jnp.asarray(mask)
+
+    def _frame_capacity(self) -> int:
+        from orb_slam3_rgbl_tpu.ops import fast as fast_ops
+
+        return int(sum(fast_ops.features_per_level(
+            self.cfg.orb.n_features, self.cfg.orb.n_levels,
+            self.cfg.orb.scale_factor)))
+
     def track_rgbl(self, gray: np.ndarray, pointcloud: np.ndarray, timestamp: float,
                    cloud_mask: Optional[np.ndarray] = None) -> TrackResult:
         """RGB + raw LiDAR cloud (N, 3|4) — ``System::TrackRGBL``
-        (reference ``System.cc:477-539``)."""
+        (reference ``System.cc:477-539``).
+
+        The steady-state frame runs as ONE fused XLA dispatch
+        (``compiled.make_track_step``); the classic per-stage path handles
+        initialization / recovery / distorted-input configurations."""
+        if (self.use_fused and self._undistort_cam is None
+                and cloud_mask is None and self.cfg.sensor == RGBL):
+            from orb_slam3_rgbl_tpu.slam.fast_path import FastPath
+
+            n_feat = self._frame_capacity()
+            if self.map is None:
+                self._spawn_components(n_feat)
+            if self._fast is None:
+                self._fast = FastPath(self.cfg, n_feat)
+                self.tracker.fast = self._fast
+            img = jnp.asarray(gray, jnp.float32)
+            pts, mask = self._pad_cloud(pointcloud)
+            res = self.tracker.track_image_rgbl(img, pts, mask, timestamp,
+                                                timer=self.timer)
+            return self._post_track(res)
         feats = self._extract(gray)
         lc = self.cfg.lidar
         feats, _ = frame_mod.attach_lidar_depth(
@@ -98,7 +155,7 @@ class System:
             dil_kv=lc.dil_kernel_size_v,
             valid_mask=None if cloud_mask is None else jnp.asarray(cloud_mask),
         )
-        return self._track(feats, timestamp)
+        return self._track(self._undistort_feats(feats), timestamp)
 
     def _undistort_feats(self, feats: frame_mod.FrameFeatures) -> frame_mod.FrameFeatures:
         """Undistort keypoint coordinates (``Frame::UndistortKeyPoints``)
@@ -143,7 +200,7 @@ class System:
             min_disp=0.0, max_disp=self.cam.bf / 0.5,  # z ≥ 0.5 m
             n_levels=self.cfg.orb.n_levels, scale_factor=self.cfg.orb.scale_factor,
         )
-        return self._track(feats, timestamp, imu=imu)
+        return self._track(self._undistort_feats(feats), timestamp, imu=imu)
 
     def track_monocular(self, gray: np.ndarray, timestamp: float,
                         imu: Optional[np.ndarray] = None) -> TrackResult:
@@ -172,6 +229,8 @@ class System:
         self.map = self.atlas.create_new_map()
         self.tracker = Tracker(self.cfg, self.map, start_frame_id=next_frame)
         self.mapper = LocalMapper(self.cfg, self.map) if self._enable_mapping else None
+        if self._fast is not None:
+            self.tracker.fast = self._fast
         if self.cfg.loop_closing:
             self.loop_closer = LoopCloser(self.cfg, self.map)
             self.tracker.kf_db = self.loop_closer.db
@@ -183,6 +242,11 @@ class System:
         if self.map is None:
             self._spawn_components(int(feats.uv.shape[0]))
         res = self.tracker.track(feats, timestamp, imu=imu)
+        return self._post_track(res)
+
+    def _post_track(self, res: TrackResult) -> TrackResult:
+        """Mapping / loop-closing / recovery phases after the tracking
+        stage (the reference's THREAD 2/3 handoffs, System.cc:198-217)."""
         for kf_id in self.tracker.new_kf_ids:
             if self.mapper is not None and self.map.n_kf > 1 and kf_id == self.tracker.new_kf_ids[-1]:
                 self.mapper.process_keyframe(kf_id)
@@ -214,6 +278,7 @@ class System:
         elif res.state == trk.OK:
             self._lost_streak = 0
         if self._lost_streak > int(self.cfg.fps):
+            n_feat = self.tracker.n_feat or self._frame_capacity()
             if self.map.n_kf >= 2:
                 # archive the map + its trajectory segment (stays
                 # mergeable — CreateMapInAtlas). Deliberate deviation from
@@ -225,7 +290,7 @@ class System:
             else:
                 # nothing usable was mapped — discard (ResetActiveMap)
                 self.atlas.entries.pop(self.atlas.active_idx)
-            self._spawn_components(int(feats.uv.shape[0]))
+            self._spawn_components(n_feat)
         return res
 
     # ------------------------------------------------------------------

@@ -65,6 +65,7 @@ class Tracker:
         self._start_frame_id = start_frame_id
         self.n_feat = None  # set on first frame
         self.kf_db = None   # KeyFrameDatabase, wired by System for reloc
+        self.fast = None    # FastPath, wired by System for the fused loop
         self._reloc_key = jax.random.PRNGKey(13)
         self.is_mono = config.sensor in (MONOCULAR, IMU_MONOCULAR)
         self._mono_ref = None          # (FrameFeatures, timestamp) init reference
@@ -184,6 +185,7 @@ class Tracker:
             self.cur_pose, uv, np.asarray(feats.octave, np.int16),
             np.asarray(feats.desc), depth, np.asarray(feats.u_right),
             valid, lm_idx, timestamp, self.frame_id,
+            angle=np.asarray(feats.angle),
         )
         desc = np.asarray(feats.desc)[feat_idx]
         centers = rays - 0.0  # camera at origin: ray == position
@@ -231,8 +233,9 @@ class Tracker:
         d = matching.distance_table(ref.desc, feats.desc, ref.valid, feats.valid)
         duv2 = jnp.sum((ref.uv[:, None, :] - feats.uv[None, :, :]) ** 2, axis=-1)
         d = jnp.where(duv2 < 100.0 ** 2, d, 512.0)
-        idx, _ = matching.mutual_best_match(d, th=matching.TH_LOW, ratio=0.9,
-                                            check_rotation=False)
+        idx, _ = matching.mutual_best_match(d, ref.angle, feats.angle,
+                                            th=matching.TH_LOW, ratio=0.9,
+                                            check_rotation=True)
         idx = np.asarray(idx)
         f1 = np.nonzero(idx >= 0)[0]
         if f1.size < 100:
@@ -281,12 +284,13 @@ class Tracker:
             np.asarray(lie.se3_identity(), np.float32), np.asarray(ref.uv),
             np.asarray(ref.octave, np.int16), np.asarray(ref.desc),
             np.asarray(ref.depth), np.asarray(ref.u_right), np.asarray(ref.valid),
-            lm0, ref_t, max(self.frame_id - 1, 0),
+            lm0, ref_t, max(self.frame_id - 1, 0), angle=np.asarray(ref.angle),
         )
         kf1 = self.map.add_keyframe(
             T21, np.asarray(feats.uv), np.asarray(feats.octave, np.int16),
             np.asarray(feats.desc), np.asarray(feats.depth),
             np.asarray(feats.u_right), valid, lm0.copy(), timestamp, self.frame_id,
+            angle=np.asarray(feats.angle),
         )
         pts = X[sel]
         dist = np.linalg.norm(pts, axis=-1)  # KF0 camera at origin
@@ -466,12 +470,14 @@ class Tracker:
         Poct = np.zeros(cap, np.int32)
         Pvalid = np.zeros(cap, bool)
         m = min(ids.size, cap)
+        Pangle = np.zeros(cap, np.float32)
         P[:m] = self.map.lm_pos[ids[:m]]
         Pdesc[:m] = self.map.lm_desc[ids[:m]]
         Poct[:m] = np.asarray(self.last_feats.octave)[np.nonzero(sel)[0][:m]]
+        Pangle[:m] = np.asarray(self.last_feats.angle)[np.nonzero(sel)[0][:m]]
         Pvalid[:m] = True
         lm_idx, n = self._match_and_bind(feats, pred, P, Pdesc, Poct, Pvalid,
-                                         ids_global=ids[:m], th=th)
+                                         ids_global=ids[:m], th=th, Pangle=Pangle)
         if n < 10:
             return lm_idx, n
         # pose optimization on the bindings
@@ -491,8 +497,8 @@ class Tracker:
         kf_valid = jnp.asarray(self.map.kf_lm_idx[k] >= 0)
         d = matching.distance_table(feats.desc, kf_desc, feats.valid, kf_valid)
         idx, dist = matching.mutual_best_match(
-            d, feats.angle, jnp.zeros(kf_desc.shape[0]), th=matching.TH_LOW, ratio=0.7,
-            check_rotation=False,
+            d, feats.angle, jnp.asarray(self.map.kf_angle[k]),
+            th=matching.TH_LOW, ratio=0.7, check_rotation=True,
         )
         idx = np.asarray(idx)
         lm_idx = np.where(idx >= 0, self.map.kf_lm_idx[k][np.clip(idx, 0, None)], -1).astype(np.int32)
@@ -581,7 +587,8 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _match_and_bind(self, feats, pose, P, Pdesc, Poct, Pvalid, ids_global,
-                        th: float, exclude_bound: Optional[np.ndarray] = None):
+                        th: float, exclude_bound: Optional[np.ndarray] = None,
+                        Pangle: Optional[np.ndarray] = None):
         """Project landmark array P with `pose`, window-match against the
         frame, return per-feature landmark bindings (N,)."""
         pc = np.asarray(lie.se3_apply(jnp.asarray(pose), jnp.asarray(P)))
@@ -602,6 +609,8 @@ class Tracker:
             jnp.asarray(proj_uv), jnp.asarray(Pvalid), jnp.asarray(Pdesc),
             jnp.asarray(Poct), feats.uv, jnp.asarray(kp_valid), feats.desc,
             feats.octave, jnp.asarray(radius), th=matching.TH_HIGH,
+            proj_angle=None if Pangle is None else jnp.asarray(Pangle),
+            kp_angle=None if Pangle is None else feats.angle,
         )
         idx = np.asarray(idx)
         dist = np.asarray(dist)
@@ -660,7 +669,9 @@ class Tracker:
                 feats.desc, jnp.asarray(self.map.kf_desc[cand]),
                 feats.valid, jnp.asarray(b2),
             )
-            idx, _ = _m.mutual_best_match(d, th=_m.TH_LOW, ratio=0.75, check_rotation=False)
+            idx, _ = _m.mutual_best_match(
+                d, feats.angle, jnp.asarray(self.map.kf_angle[cand]),
+                th=_m.TH_LOW, ratio=0.75, check_rotation=True)
             idx = np.asarray(idx)
             # depth sensors: 3D-3D rigid hypotheses; mono: 2D-3D DLT PnP
             has_depth = depth_np > 0 if not self.is_mono else np.ones_like(depth_np, bool)
@@ -750,18 +761,26 @@ class Tracker:
             if (not self.map.imu_initialized and gap >= 0.25) or gap >= 0.5:
                 self._create_keyframe(feats, timestamp)
                 return True
-        ref_matches = int((self.map.kf_lm_idx[self.ref_kf] >= 0).sum())
+        # reference: suppress insertion right after relocalization when the
+        # map is established (Tracking.cc:3109-3112)
+        if (self.map.n_kf > self.max_frames
+                and self.frame_id < self.last_reloc_frame + self.max_frames):
+            return False
+        ref_matches = self._ref_kf_tracked()
         depth = np.asarray(feats.depth)
         valid = np.asarray(feats.valid)
         close = valid & (depth > 0) & (depth < self.th_depth_m)
         tracked_close = close & (self.cur_lm_idx >= 0)
         non_tracked_close = close & (self.cur_lm_idx < 0)
-        need_close = (tracked_close.sum() < 100) and (non_tracked_close.sum() > 70)
+        need_close = self._need_close(int(tracked_close.sum()),
+                                      int(non_tracked_close.sum()))
 
         # reference thRefRatio: mono 0.9, stereo/RGBD 0.75; 0.4 with ≤ 2 KFs
-        th_ref = 0.9 if self.is_mono else 0.75
-        if self.map.n_kf <= 2:
+        th_ref = 0.75
+        if self.map.n_kf < 2:
             th_ref = 0.4
+        if self.is_mono:
+            th_ref = 0.9
         c1a = self.frame_id >= self.last_kf_frame + self.max_frames
         c1b = self.frame_id >= self.last_kf_frame + self.min_frames
         c1c = n_inl < ref_matches * 0.25 or need_close
@@ -780,6 +799,7 @@ class Tracker:
             self.cur_pose, uv, np.asarray(feats.octave, np.int16),
             np.asarray(feats.desc), depth, np.asarray(feats.u_right),
             valid, lm_idx, timestamp, self.frame_id,
+            angle=np.asarray(feats.angle),
         )
         # create close landmarks for unbound features (reference sorts by
         # depth, creates at least the 100 closest / all closer than ThDepth)
@@ -834,10 +854,8 @@ class Tracker:
     def _update_last(self, feats):
         if self.state == OK:
             if self.last_pose is not None:
-                self.velocity = np.asarray(
-                    lie.se3_mul(jnp.asarray(self.cur_pose), lie.se3_inv(jnp.asarray(self.last_pose))),
-                    np.float32,
-                )
+                self.velocity = lie.np_se3_mul(self.cur_pose,
+                                               lie.np_se3_inv(self.last_pose))
             self.last_pose = self.cur_pose.copy()
             self.last_feats = feats
             self.last_lm_idx = getattr(self, "cur_lm_idx", np.full(self.n_feat, -1, np.int32)).copy()
@@ -849,10 +867,8 @@ class Tracker:
         against the (possibly BA-corrected) keyframe pose — the exact
         scheme of ``SaveTrajectoryKITTI`` (System.cc:1348)."""
         if self.ref_kf >= 0 and self.state in (OK, RECENTLY_LOST):
-            Tcr = lie.se3_mul(
-                jnp.asarray(self.cur_pose),
-                lie.se3_inv(jnp.asarray(self.map.kf_pose[self.ref_kf])),
-            )
+            Tcr = lie.np_se3_mul(self.cur_pose,
+                                 lie.np_se3_inv(self.map.kf_pose[self.ref_kf]))
             self.traj_rel.append(np.asarray(Tcr, np.float32))
             self.traj_ref_kf.append(self.ref_kf)
             self.traj_time.append(timestamp)
@@ -862,6 +878,157 @@ class Tracker:
             self.traj_ref_kf.append(max(self.ref_kf, 0))
             self.traj_time.append(timestamp)
             self.traj_lost.append(True)
+
+    # ==================================================================
+    # Fused fast path (single-dispatch engine hot loop)
+    # ==================================================================
+    def track_image_rgbl(self, img, points, cloud_valid, timestamp: float,
+                         timer=None) -> TrackResult:
+        """One-dispatch tracking of an RGB-L frame via the fused step
+        (``compiled.make_track_step``). Falls back to the classic
+        per-stage path on initialization, tracking failure, or any state
+        where the reference would leave the TrackWithMotionModel →
+        TrackLocalMap ladder (reloc, lost, inertial)."""
+        fp = self.fast
+        usable = (
+            fp is not None and self.state == OK and not self.inertial
+            and self.velocity is not None and self.ref_kf >= 0
+            and self.last_lm_idx is not None
+            and self.frame_id + 1 >= self.last_reloc_frame + self.max_frames
+        )
+        if usable:
+            if timer is not None:
+                with timer.stage("pose_pred"):
+                    fp.sync(self.map, self.ref_kf, self.last_feats, self.last_lm_idx)
+                    pred = self._predict_pose_fused()
+                with timer.stage("lm_track"):
+                    out = fp.run(img, points, cloud_valid, pred)
+                    n_inl = int(out.n_inliers)
+            else:
+                fp.sync(self.map, self.ref_kf, self.last_feats, self.last_lm_idx)
+                out = fp.run(img, points, cloud_valid, self._predict_pose_fused())
+                n_inl = int(out.n_inliers)
+            if n_inl >= 30:
+                return self._accept_fused(out, timestamp, n_inl, timer=timer)
+            feats = out.feats  # reuse the extraction for the classic ladder
+        else:
+            feats = self._extract_rgbl(img, points, cloud_valid)
+        return self.track(feats, timestamp)
+
+    def _extract_rgbl(self, img, points, cloud_valid) -> FrameFeatures:
+        from orb_slam3_rgbl_tpu.ops import depth as depth_ops
+        from orb_slam3_rgbl_tpu.slam import frame as frame_mod
+
+        cfg, cam, lc = self.cfg, self.cam, self.cfg.lidar
+        feats = frame_mod.extract_features(
+            img, cam.height, cam.width, n_features=cfg.orb.n_features,
+            n_levels=cfg.orb.n_levels, scale_factor=cfg.orb.scale_factor,
+            ini_th=float(cfg.orb.ini_th_fast), min_th=float(cfg.orb.min_th_fast),
+        )
+        K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float32)
+        P = jnp.asarray(depth_ops.lidar_projection_matrix(K, np.asarray(lc.T_velo_cam)))
+        feats, _ = frame_mod.attach_lidar_depth(
+            feats, points, P, cam.height, cam.width, cam.bf,
+            min_dist=lc.min_dist, max_dist=lc.max_dist, method=lc.method,
+            dil_kind=lc.dil_kernel_type, dil_ku=lc.dil_kernel_size_u,
+            dil_kv=lc.dil_kernel_size_v, valid_mask=cloud_valid,
+        )
+        return feats
+
+    def _predict_pose_fused(self) -> np.ndarray:
+        return lie.np_se3_mul(self.velocity, self.last_pose)
+
+    def _need_close(self, tracked_close: int, nontracked_close: int) -> bool:
+        """Close-point starvation trigger (``bNeedToInsertClose``,
+        Tracking.cc:3160-3161): exact reference constants."""
+        return tracked_close < 100 and nontracked_close > 70
+
+    def _ref_kf_tracked(self) -> int:
+        """Reference ``KeyFrame::TrackedMapPoints(nMinObs)`` used by
+        NeedNewKeyFrame (Tracking.cc:3120-3123): ref-KF landmarks observed
+        by ≥ 3 keyframes (≥ 2 while the map is tiny) — NOT all bound
+        features, which would overcount the fresh depth-created points and
+        force a keyframe every frame."""
+        min_obs = 3 if self.map.n_kf > 2 else 2
+        ids = self.map.kf_lm_idx[self.ref_kf]
+        ids = ids[ids >= 0]
+        if ids.size == 0:
+            return 0
+        counts = self.map.observation_counts(ids)
+        n = int((counts >= min_obs).sum())
+        # degenerate young map (every landmark single-observation — e.g.
+        # right after stereo init): fall back to the bound count so the
+        # ratio clause can trigger the SECOND keyframe at all; the
+        # reference escapes this via close-point starvation on real data
+        return n if n > 0 else ids.size
+
+    def _fast_kf_policy(self, n_inl: int, tracked_close: int,
+                        nontracked_close: int) -> bool:
+        """Host replica of ``_maybe_insert_keyframe``'s decision using the
+        close-point scalars computed on device (NeedNewKeyFrame,
+        Tracking.cc:3098-3249)."""
+        if self.ref_kf < 0 or self.only_tracking:
+            return False
+        if (self.map.n_kf > self.max_frames
+                and self.frame_id < self.last_reloc_frame + self.max_frames):
+            return False
+        ref_matches = self._ref_kf_tracked()
+        need_close = self._need_close(tracked_close, nontracked_close)
+        th_ref = 0.75
+        if self.map.n_kf < 2:
+            th_ref = 0.4
+        if self.is_mono:
+            th_ref = 0.9
+        c1a = self.frame_id >= self.last_kf_frame + self.max_frames
+        c1b = self.frame_id >= self.last_kf_frame + self.min_frames
+        c1c = n_inl < ref_matches * 0.25 or need_close
+        c2 = (n_inl < ref_matches * th_ref or need_close) and n_inl > 15
+        return (c1a or c1b or c1c) and c2
+
+    def _accept_fused(self, out, timestamp: float, n_inl: int,
+                      timer=None) -> TrackResult:
+        fp = self.fast
+        self.frame_id += 1
+        self.new_kf_ids = []
+        # ONE bulk host transfer for everything the control loop needs —
+        # per-array np.asarray would pay a tunnel round-trip each
+        pose, bind_prev, bind_win, win_visible, n_tc, n_ntc = jax.device_get(
+            (out.Tcw, out.bind_prev, out.bind_win, out.win_visible,
+             out.n_tracked_close, out.n_nontracked_close))
+        pose = np.asarray(pose, np.float32)
+        cur = np.full(self.n_feat, -1, np.int32)
+        pm = bind_prev >= 0
+        cur[pm] = fp.prev_lm_ids[bind_prev[pm]]
+        wm = bind_win >= 0
+        cur[wm] = fp.win_ids[bind_win[wm]]
+        self.cur_pose = pose
+        self.cur_lm_idx = cur
+
+        # visibility / found bookkeeping (MapPoint::IncreaseVisible/Found)
+        vis = win_visible[: len(fp.win_ids)]
+        self.map.lm_visible[fp.win_ids[vis]] += 1
+        self.map.lm_found[cur[cur >= 0]] += 1
+
+        created = False
+        if self._fast_kf_policy(n_inl, int(n_tc), int(n_ntc)):
+            if timer is not None:
+                with timer.stage("new_kf"):
+                    feats_np = FrameFeatures(*[np.asarray(a) for a in out.feats])
+                    self._create_keyframe(feats_np, timestamp)
+            else:
+                feats_np = FrameFeatures(*[np.asarray(a) for a in out.feats])
+                self._create_keyframe(feats_np, timestamp)
+            created = True
+
+        self._log_trajectory(timestamp)
+        if self.last_pose is not None:
+            self.velocity = lie.np_se3_mul(pose, lie.np_se3_inv(self.last_pose))
+        self.last_pose = pose.copy()
+        self.last_feats = out.feats
+        self.last_lm_idx = self.cur_lm_idx.copy()
+        fp.advance(out, self.cur_lm_idx.copy())
+        return TrackResult(pose=pose.copy(), state=OK, n_inliers=n_inl,
+                           created_kf=created, timestamp=timestamp)
 
     # ------------------------------------------------------------------
     def rebind_after_merge(self, new_map: MapState, kf_remap: np.ndarray,

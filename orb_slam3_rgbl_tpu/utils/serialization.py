@@ -82,6 +82,7 @@ def _map_from_arrays(data, prefix: str, meta: dict) -> MapState:
     m.version = int(meta["version"])
     m.map_id = int(meta["map_id"])
     m.imu_initialized = bool(meta.get("imu_initialized", False))
+    m.refresh_free_list()
     ids = data.get(prefix + "imu_pre_ids")
     if ids is not None and ids.size:
         cols = [data[prefix + f"imu_pre_f{j}"] for j in range(_PREINT_FIELDS)]
@@ -193,4 +194,5 @@ def load_map(path: str, strict_vocab: bool = True) -> MapState:
     m.version = int(meta["version"])
     m.map_id = int(meta["map_id"])
     m.imu_initialized = bool(meta.get("imu_initialized", False))
+    m.refresh_free_list()
     return m

@@ -134,3 +134,37 @@ class TestContinuousKernel:
                                           mode="continuous")
         for a, b in zip(d_cpu, d_pal):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFusedFrontend:
+    """Interpret-mode regression of the fused FAST+blur Pallas kernel
+    against the XLA reference path (ADVICE r2: previously untested in CI)."""
+
+    def _check(self, rng, h, w):
+        from orb_slam3_rgbl_tpu.ops import frontend_pallas as fp
+        from orb_slam3_rgbl_tpu.ops import fast as fast_ops
+        from orb_slam3_rgbl_tpu.ops import pyramid as pyr_ops
+
+        img = jnp.round(jnp.asarray(rng.uniform(0, 255, (h, w)), jnp.float32))
+        score_ref = np.asarray(fast_ops.fast_score(img))
+        blur_ref = np.asarray(pyr_ops.gaussian_blur(img))
+        score, blur = fp.fast_and_blur(img, interpret=True)
+        np.testing.assert_array_equal(np.asarray(score), score_ref)
+        np.testing.assert_allclose(np.asarray(blur), blur_ref, atol=1e-3)
+
+    def test_aligned(self, rng):
+        self._check(rng, 128, 256)
+
+    def test_unaligned(self, rng):
+        self._check(rng, 93, 171)
+
+    def test_small_levels_take_xla_path(self, rng):
+        """Levels smaller than the reflect halos must not reach the Pallas
+        kernel (frame.extract_features gates on HALO/CHALO)."""
+        from orb_slam3_rgbl_tpu.ops import frontend_pallas as fp
+
+        assert fp.HALO == 8 and fp.CHALO == 64
+        # jnp.pad reflect would raise for these shapes — the gate in
+        # frame.extract_features must route them to the XLA path
+        for h, w in [(8, 256), (128, 64)]:
+            assert not (h > fp.HALO and w > fp.CHALO)
