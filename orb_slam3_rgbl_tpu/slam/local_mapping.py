@@ -48,7 +48,13 @@ class LocalMapper:
         self._search_in_neighbors(kf_id)
         min_kf_for_ba = 2 if self.is_mono else 3
         if run_ba and self.map.n_kf >= min_kf_for_ba:
-            self.local_bundle_adjustment(kf_id)
+            # after IMU initialization the mapping-plane BA is the
+            # 15-DoF sliding-window LocalInertialBA (reference
+            # LocalMapping.cc:149 vs :154 selects by sensor + init state)
+            if self.cfg.inertial and self.map.imu_initialized:
+                self.local_inertial_bundle_adjustment(kf_id)
+            else:
+                self.local_bundle_adjustment(kf_id)
         self._keyframe_culling(kf_id)
 
     # ------------------------------------------------------------------
@@ -456,6 +462,184 @@ class LocalMapper:
         self.map.version += 1
 
     # ------------------------------------------------------------------
+    VI_OPT_WINDOW = 10   # optimizable temporal states (Optimizer.cc:2392)
+    VI_FIX_WINDOW = 5    # fixed temporal anchors
+
+    def _vi_extrinsics(self):
+        from orb_slam3_rgbl_tpu.slam import imu_frontend
+
+        if not hasattr(self, "_T_bc"):
+            self._T_bc, self._T_cb = imu_frontend.body_cam_extrinsics(self.cfg)
+        return self._T_bc, self._T_cb
+
+    def _build_vi_problem(self, chain: np.ndarray, n_fixed: int,
+                          lm_cap: int = 4096, obs_cap: int = 8):
+        """Assemble a VIBAProblem over the temporal keyframe ``chain``
+        (oldest first; the first ``n_fixed`` states are anchors)."""
+        from orb_slam3_rgbl_tpu.optim import inertial_ba as viba
+        from orb_slam3_rgbl_tpu.slam import imu_frontend
+
+        m = self.map
+        T_bc, T_cb = self._vi_extrinsics()
+        K = len(chain)
+        T_bw = lie.np_se3_mul(np.tile(T_bc, (K, 1)), m.kf_pose[chain])
+        Twb = lie.np_se3_inv(T_bw)
+
+        # landmarks seen by the optimizable states
+        opt_kfs = chain[n_fixed:]
+        tbl = m.kf_lm_idx[opt_kfs]
+        lm_ids = np.unique(tbl[tbl >= 0])
+        lm_ids = lm_ids[m.lm_valid[lm_ids]][:lm_cap]
+        obs_kf, obs_feat, obs_mask, obs_uv, obs_ur = m.gather_observations(
+            chain, lm_ids, obs_cap)
+        Mw = lm_cap
+        def padm(a, fill=0):
+            out = np.full((Mw,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+        kf_global = chain[np.clip(obs_kf, 0, K - 1)]
+        octv = m.kf_octave[kf_global, obs_feat].astype(np.int32)
+        inv_s2 = self.inv_sigma2[np.clip(octv, 0, len(self.inv_sigma2) - 1)].astype(np.float32)
+        lm_valid = np.zeros(Mw, bool)
+        lm_valid[: lm_ids.size] = True
+
+        # temporal IMU factors between consecutive chain states
+        pair_i, pair_j, preints, pv = [], [], [], []
+        for a in range(K - 1):
+            k_next = int(chain[a + 1])
+            ok = (k_next in m.imu_preint
+                  and int(m.kf_prev_imu[k_next]) == int(chain[a]))
+            pair_i.append(a)
+            pair_j.append(a + 1)
+            pv.append(ok)
+            if ok:
+                preints.append(imu_frontend.preint_from_numpy(m.imu_preint[k_next]))
+            else:
+                import jax.numpy as _jnp
+                from orb_slam3_rgbl_tpu.imu import preintegration as pre
+                preints.append(pre.preintegrate(
+                    _jnp.zeros((2, 3), _jnp.float32), _jnp.zeros((2, 3), _jnp.float32),
+                    _jnp.zeros(2, _jnp.float32), _jnp.zeros(2, bool), pre.ImuBias.zero()))
+        meas = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *preints)
+        dts = np.maximum(np.asarray(meas.dt), 1e-3)
+        icfg = self.cfg.imu
+        info_bg = 1.0 / np.maximum(icfg.gyro_walk ** 2 * dts, 1e-12)
+        info_ba = 1.0 / np.maximum(icfg.acc_walk ** 2 * dts, 1e-12)
+
+        fixed = np.zeros(K, bool)
+        fixed[:n_fixed] = True
+        if not fixed.any():
+            fixed[0] = True
+
+        problem = viba.VIBAProblem(
+            Twb=jnp.asarray(Twb), vel=jnp.asarray(m.kf_vel[chain]),
+            bg=jnp.asarray(m.kf_bg[chain]), ba=jnp.asarray(m.kf_ba[chain]),
+            state_fixed=jnp.asarray(fixed), state_valid=jnp.ones(K, bool),
+            T_cb=jnp.asarray(T_cb),
+            landmarks=jnp.asarray(padm(m.lm_pos[lm_ids])),
+            lm_valid=jnp.asarray(lm_valid),
+            obs_kf=jnp.asarray(padm(obs_kf)), obs_uv=jnp.asarray(padm(obs_uv)),
+            obs_ur=jnp.asarray(padm(obs_ur, -1.0)),
+            obs_inv_sigma2=jnp.asarray(padm(inv_s2)),
+            obs_mask=jnp.asarray(padm(obs_mask)),
+            pair_i=jnp.asarray(np.asarray(pair_i, np.int32)),
+            pair_j=jnp.asarray(np.asarray(pair_j, np.int32)),
+            pair_meas=meas,
+            pair_valid=jnp.asarray(np.asarray(pv, bool)),
+            info_bg=jnp.asarray(np.minimum(info_bg, 1e8).astype(np.float32)),
+            info_ba=jnp.asarray(np.minimum(info_ba, 1e8).astype(np.float32)),
+        )
+        return problem, lm_ids, (obs_kf, obs_feat, obs_mask)
+
+    def _temporal_chain(self, kf_id: int, length: int) -> np.ndarray:
+        """Walk the kf_prev_imu chain back from kf_id (inclusive), oldest
+        first (reference vpOptimizableKFs assembly, Optimizer.cc:2392-2410)."""
+        chain = [int(kf_id)]
+        k = int(kf_id)
+        while len(chain) < length:
+            p = int(self.map.kf_prev_imu[k])
+            if p < 0 or not self.map.kf_valid[p]:
+                break
+            chain.append(p)
+            k = p
+        return np.asarray(chain[::-1], np.int64)
+
+    def local_inertial_bundle_adjustment(self, kf_id: int, iterations: int = 8):
+        """``Optimizer::LocalInertialBA`` (reference Optimizer.cc:2383):
+        sliding window of Opt=10 temporal states + Fix=5 anchors, joint
+        visual + preintegration + bias-walk solve, map writeback."""
+        from orb_slam3_rgbl_tpu.optim import inertial_ba as viba
+
+        chain = self._temporal_chain(kf_id, self.VI_OPT_WINDOW + self.VI_FIX_WINDOW)
+        if len(chain) < 3:
+            return
+        n_fixed = max(len(chain) - self.VI_OPT_WINDOW, 1)
+        problem, lm_ids, (obs_kf, obs_feat, obs_mask) = self._build_vi_problem(
+            chain, n_fixed)
+        res = viba.vi_bundle_adjust(problem, self.cam, iterations=iterations)
+        self._vi_writeback(chain, n_fixed, lm_ids, res,
+                           obs_kf, obs_feat, obs_mask)
+
+    def full_inertial_ba(self, kf_id: int, iterations: int = 10,
+                         max_states: int = 24):
+        """``Optimizer::FullInertialBA`` (reference Optimizer.cc:392; run
+        by the VIBA refinement schedule and post-loop GBA): the same joint
+        solve over the whole temporal chain (capped — older states anchor)."""
+        chain = self._temporal_chain(kf_id, max_states)
+        if len(chain) < 4:
+            return
+        from orb_slam3_rgbl_tpu.optim import inertial_ba as viba
+
+        problem, lm_ids, obs = self._build_vi_problem(chain, n_fixed=1)
+        res = viba.vi_bundle_adjust(problem, self.cam, iterations=iterations)
+        self._vi_writeback(chain, 1, lm_ids, res, *obs)
+
+    def _vi_writeback(self, chain, n_fixed, lm_ids, res,
+                      obs_kf, obs_feat, obs_mask):
+        m = self.map
+        _, T_cb = self._vi_extrinsics()
+        Twb = np.asarray(res.Twb, np.float32)
+        K = len(chain)
+        Tcw = lie.np_se3_mul(np.tile(np.asarray(T_cb, np.float32), (K, 1)),
+                             lie.np_se3_inv(Twb))
+        upd = chain[n_fixed:]
+        m.kf_pose[upd] = Tcw[n_fixed:]
+        m.kf_vel[upd] = np.asarray(res.vel, np.float32)[n_fixed:]
+        m.kf_bg[upd] = np.asarray(res.bg, np.float32)[n_fixed:]
+        m.kf_ba[upd] = np.asarray(res.ba, np.float32)[n_fixed:]
+        if lm_ids.size:
+            m.lm_pos[lm_ids] = np.asarray(res.landmarks, np.float32)[: lm_ids.size]
+        inl = np.asarray(res.obs_inlier)[: lm_ids.size]
+        bad = (~inl) & obs_mask
+        if bad.any():
+            rows, cols = np.nonzero(bad)
+            kfg = chain[obs_kf[rows, cols]]
+            m.kf_lm_idx[kfg, obs_feat[rows, cols]] = -1
+        m.version += 1
+
+    def maybe_viba(self, timestamp: float):
+        """VIBA1/VIBA2 refinement schedule after IMU initialization
+        (reference ``LocalMapping::Run`` LocalMapping.cc:218-256: a
+        FullInertialBA ~5 s after init and another ~15 s after)."""
+        m = self.map
+        if not (self.cfg.inertial and m.imu_initialized):
+            return
+        t0 = getattr(self, "_imu_init_time", None)
+        if t0 is None:
+            return
+        stage = getattr(self, "_viba_stage", 0)
+        if stage == 0 and timestamp - t0 >= 5.0:
+            kfs = m.valid_kf_ids()
+            if kfs.size:
+                self.full_inertial_ba(int(kfs[-1]))
+            self._viba_stage = 1
+        elif stage == 1 and timestamp - t0 >= 15.0:
+            kfs = m.valid_kf_ids()
+            if kfs.size:
+                self.full_inertial_ba(int(kfs[-1]))
+            self._viba_stage = 2
+
+    # ------------------------------------------------------------------
     def maybe_initialize_imu(self, min_kf: int = 6, min_span_s: float = 1.0,
                              max_cost: float = 1e3):
         """3-stage IMU initialization (reference ``LocalMapping::
@@ -519,6 +703,8 @@ class LocalMapper:
         m.kf_ba[kfs] = np.asarray(out["bias"].ba, np.float32)
         ms.apply_scaled_rotation(m, S_align, vel_metric_preserved=True)
         m.imu_initialized = True
+        self._imu_init_time = float(m.kf_timestamp[kfs[-1]])
+        self._viba_stage = 0
         return S_align
 
     def _relink_imu_chain(self, k: int) -> bool:

@@ -104,7 +104,16 @@ class System:
     def _pad_cloud(self, pointcloud):
         """(Np, 3|4) → fixed (CLOUD_CAP, 4) + validity mask. Truncates
         over-capacity clouds (KITTI peaks ~130k — the tail is far-range
-        returns the min/max-dist gate would reject anyway)."""
+        returns the min/max-dist gate would reject anyway).
+
+        A device array already at capacity passes through untouched (the
+        bench pre-stages frames on device; downloading it to re-pad would
+        defeat the zero-transfer loop)."""
+        if (isinstance(pointcloud, jnp.ndarray)
+                and pointcloud.shape == (self.CLOUD_CAP, 4)):
+            if not hasattr(self, "_cloud_mask_ones"):
+                self._cloud_mask_ones = jnp.ones(self.CLOUD_CAP, bool)
+            return pointcloud, self._cloud_mask_ones
         pc = np.asarray(pointcloud, np.float32)
         if pc.shape[1] == 3:
             pc = np.concatenate([pc, np.ones((len(pc), 1), np.float32)], axis=1)
@@ -254,6 +263,10 @@ class System:
                 ev = self.loop_closer.on_keyframe(kf_id)
                 if ev is None:
                     self._try_merge(kf_id)
+        if (self.cfg.inertial and self.mapper is not None
+                and self.tracker.new_kf_ids and self.map.imu_initialized):
+            # VIBA1/VIBA2 refinement schedule (LocalMapping.cc:218-256)
+            self.mapper.maybe_viba(res.timestamp)
         if (self.cfg.inertial and self.mapper is not None
                 and self.tracker.new_kf_ids and not self.map.imu_initialized):
             S_align = self.mapper.maybe_initialize_imu()
