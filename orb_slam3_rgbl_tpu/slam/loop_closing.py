@@ -6,10 +6,13 @@ Replaces the reference ``LoopClosing`` thread (``LoopClosing.cc:90-308``):
 OptimizeSim3) → ``CorrectLoop`` (``:969-1214``, Sim3 propagation of the
 covisible window, duplicate fusion, essential-graph optimization).
 
-Parity deltas (round 1, documented): detection accepts on one strongly-
-verified candidate (high inlier thresholds) instead of the reference's
-3-consecutive-keyframe temporal gate; map-merge across Atlas maps is not
-yet wired.
+Round-3 upgrades: 3-consecutive-keyframe temporal-consistency gating of
+candidates (``LoopClosing.cc:396`` covisibility-consistency scheme), the
+full essential graph (spanning chain + covisibility edges weight≥100 +
+ALL accumulated loop/merge edges, ``Optimizer.cc:1501+``), and
+``SearchAndFuse`` projection fusion of the loop-side landmarks into the
+Sim3-corrected covisible window before the pose graph
+(``LoopClosing.cc:1115-1214``).
 """
 
 from __future__ import annotations
@@ -52,6 +55,13 @@ class LoopCloser:
         self.fix_scale = config.sensor != 0  # everything but pure mono
         self.last_loop_kf = -9999
         self.events: list[LoopEvent] = []
+        # temporal-consistency state: [(covisibility group set, count)]
+        # (reference mvConsistentGroups, consistency threshold 3)
+        self.consistency_th = 3
+        self._consistent_groups: list = []
+        # accumulated loop/merge constraints fed to every future essential
+        # graph (reference KeyFrame::mLoopEdges / mMergeEdges)
+        self.extra_edges: list = []   # (kf_a, kf_b, S_ab (8,), weight)
         self.run_gba = run_gba
         self._key = jax.random.PRNGKey(7)
 
@@ -77,6 +87,7 @@ class LoopCloser:
     def _detect(self, kf_id: int) -> Optional[LoopEvent]:
         cands = self.db.detect_candidates(self.map, kf_id, n_candidates=3)
         covis = None
+        gated = []
         for cand in cands:
             # candidates temporally adjacent are odometry, not loops
             if abs(int(self.map.kf_frame_id[cand]) - int(self.map.kf_frame_id[kf_id])) < 30:
@@ -88,8 +99,30 @@ class LoopCloser:
                 covis = self.map.covisibility_weights(kf_id)
             if covis[cand] > 5:
                 continue
-            ev = self._verify_candidate(kf_id, int(cand))
+            gated.append(int(cand))
+        # temporal consistency (reference LoopClosing.cc:396 / the
+        # ORB-SLAM covisibility-consistency scheme): a candidate's
+        # covisibility group must intersect groups seen on the previous
+        # consecutive keyframes ≥ consistency_th times before geometric
+        # verification is even attempted — one-off false positives from
+        # retrieval never reach Sim3
+        new_groups = []
+        consistent = []
+        for cand in gated:
+            group = set(int(k) for k in self.map.best_covisible(cand, 10, min_weight=1))
+            group.add(cand)
+            count = 0
+            for pg, pc in self._consistent_groups:
+                if group & pg:
+                    count = max(count, pc + 1)
+            new_groups.append((group, count))
+            if count + 1 >= self.consistency_th:
+                consistent.append(cand)
+        self._consistent_groups = new_groups
+        for cand in consistent:
+            ev = self._verify_candidate(kf_id, cand)
             if ev is not None:
+                self._consistent_groups = []
                 return ev
         return None
 
@@ -153,32 +186,158 @@ class LoopCloser:
         return LoopEvent(kf_cur=kf_id, kf_matched=cand, n_inliers=int(n), S12=np.asarray(S12))
 
     # ------------------------------------------------------------------
-    def _correct_loop(self, ev: LoopEvent, run_pose_graph: bool = True):
-        """Reference ``CorrectLoop``: compute the corrected Sim3 of the
-        current keyframe from the loop constraint, spread the correction
-        through the pose graph, re-anchor landmarks, fuse duplicates."""
+    def _search_and_fuse(self, ev: LoopEvent):
+        """Reference ``SearchAndFuse`` (LoopClosing.cc:2115) preceded by
+        the Sim3 propagation of the current covisible window
+        (LoopClosing.cc:1115-1177): project the loop-side (matched
+        neighborhood) landmarks into the current keyframe's covisible
+        window THROUGH THE LOOP-CORRECTED poses and Replace duplicates /
+        add missed observations. The corrected poses are used only for
+        projection here — the pose graph writes the final geometry."""
+        from orb_slam3_rgbl_tpu.ops import matching as _matching
+
         m = self.map
+        window = [int(k) for k in m.best_covisible(ev.kf_cur, 30, min_weight=1)]
+        window = [ev.kf_cur] + [k for k in window if k != ev.kf_cur]
+        # corrected Sim3 world→cam of the current KF: S_cw = S12 · T_mw
+        S_cw = lie.sim3_mul(jnp.asarray(ev.S12.astype(np.float32)),
+                            lie.sim3_from_se3(jnp.asarray(m.kf_pose[ev.kf_matched])))
+        T_cur_inv = lie.se3_inv(jnp.asarray(m.kf_pose[ev.kf_cur]))
+
+        # loop-side landmarks: matched KF's 2-hop neighborhood
+        loop_kfs = [ev.kf_matched] + [
+            int(k) for k in m.best_covisible(ev.kf_matched, 15, min_weight=1)]
+        tbl = m.kf_lm_idx[np.asarray(loop_kfs)]
+        loop_lms = np.unique(tbl[tbl >= 0])
+        loop_lms = loop_lms[m.lm_valid[loop_lms]]
+        if loop_lms.size == 0:
+            return
+        cap = 2 * m.n_features
+        loop_lms = loop_lms[:cap]
+        n = loop_lms.size
+        P = np.zeros((cap, 3), np.float32)
+        Pdesc = np.zeros((cap, 8), np.uint32)
+        Pvalid = np.zeros(cap, bool)
+        P[:n] = m.lm_pos[loop_lms]
+        Pdesc[:n] = m.lm_desc[loop_lms]
+        Pvalid[:n] = True
+
+        counts = m.observation_counts()
+        remap = np.arange(m.capacity_lm, dtype=np.int32)
+        for k in window[:12]:
+            # corrected pose of window KF k: S_kw = (T_kc as Sim3) · S_cw
+            T_kc = lie.se3_mul(jnp.asarray(m.kf_pose[k]), T_cur_inv)
+            S_kw = lie.sim3_mul(lie.sim3_from_se3(T_kc), S_cw)
+            pc = np.asarray(lie.sim3_apply(S_kw, jnp.asarray(P)))
+            z = pc[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = self.cam.fx * pc[:, 0] / z + self.cam.cx
+                v = self.cam.fy * pc[:, 1] / z + self.cam.cy
+            ok = Pvalid & (z > 0.1)
+            ok &= np.nan_to_num((u >= 0) & (u < self.cam.width)
+                                & (v >= 0) & (v < self.cam.height), nan=False)
+            proj_uv = np.stack([np.nan_to_num(u), np.nan_to_num(v)], 1).astype(np.float32)
+            radius = np.full(cap, 4.0, np.float32)
+            idx, d = _matching.windowed_projection_match(
+                jnp.asarray(proj_uv), jnp.asarray(ok), jnp.asarray(Pdesc),
+                jnp.zeros(cap, jnp.int32), jnp.asarray(m.kf_uv[k]),
+                jnp.asarray(m.kf_feat_valid[k]), jnp.asarray(m.kf_desc[k]),
+                jnp.zeros(m.n_features, jnp.int32), jnp.asarray(radius),
+                th=_matching.TH_LOW,
+            )
+            idx = np.asarray(idx)
+            d = np.asarray(d)
+            hit = np.nonzero(idx >= 0)[0]
+            if hit.size == 0:
+                continue
+            order = hit[np.argsort(d[hit], kind="stable")]
+            feats_of = idx[order]
+            first = np.unique(feats_of, return_index=True)[1]
+            win_p, win_f = order[first], feats_of[first]
+            src = loop_lms[win_p]
+            tgt = m.kf_lm_idx[k, win_f]
+            free = tgt < 0
+            m.kf_lm_idx[k, win_f[free]] = src[free]
+            dup = (~free) & (tgt != src)
+            if dup.any():
+                a, b = src[dup], tgt[dup]
+                # loop-side (older) landmark wins ties (reference Replace
+                # direction in SearchAndFuse: loop MapPoints replace)
+                keep_a = counts[a] >= counts[b]
+                winner = np.where(keep_a, a, b)
+                loser = np.where(keep_a, b, a)
+                fresh = loser != winner
+                remap[loser[fresh]] = winner[fresh]
+        changed = np.nonzero(remap != np.arange(m.capacity_lm, dtype=np.int32))[0]
+        if changed.size:
+            for _ in range(4):
+                nxt = remap[remap]
+                if np.array_equal(nxt, remap):
+                    break
+                remap = nxt
+            bound = m.kf_lm_idx >= 0
+            m.kf_lm_idx[bound] = remap[m.kf_lm_idx[bound]]
+            losers = np.nonzero(remap != np.arange(m.capacity_lm, dtype=np.int32))[0]
+            winners = remap[losers]
+            np.add.at(m.lm_found, winners, m.lm_found[losers])
+            np.add.at(m.lm_visible, winners, m.lm_visible[losers])
+            m.lm_valid[losers] = False
+            m.lm_gen[losers] += 1
+            m.lm_free.extend(int(i) for i in losers)
+
+    def _essential_edges(self, valid, slot, ev: LoopEvent):
+        """Essential-graph edge set (reference ``OptimizeEssentialGraph``
+        Optimizer.cc:1501+): sequential spanning chain + covisibility
+        edges weight ≥ 100 + ALL accumulated loop/merge edges + the new
+        loop constraint. Sij for structural edges are batched (one
+        vectorized Sim3 composition, no per-edge dispatch)."""
+        m = self.map
+        K = valid.size
+        ei = list(range(1, K))
+        ej = list(range(0, K - 1))
+        w = [1.0] * (K - 1)
+        # covisibility edges ≥ 100 shared observations
+        vk, W = m.covisibility_matrix()
+        hi, hj = np.nonzero(np.triu(W >= 100, k=1))
+        adjacent = np.abs(hi - hj) <= 1   # chain already covers these
+        hi, hj = hi[~adjacent], hj[~adjacent]
+        ei += hi.tolist()
+        ej += hj.tolist()
+        w += [1.0] * len(hi)
+        # structural edges measure the CURRENT relative geometry — batch
+        nodes = np.concatenate([m.kf_pose[valid], np.ones((K, 1), np.float32)], 1)
+        Si = jnp.asarray(nodes[np.asarray(ei, np.int64)])
+        Sj = jnp.asarray(nodes[np.asarray(ej, np.int64)])
+        Sij = np.asarray(lie.sim3_mul(Si, lie.sim3_inv(Sj)), np.float32)
+        ei, ej, w, Sij = list(ei), list(ej), list(w), [r for r in Sij]
+        # accumulated loop/merge edges keep their MEASURED constraints
+        for (a, b, Sab, wt) in self.extra_edges:
+            if m.kf_valid[a] and m.kf_valid[b] and int(a) in slot and int(b) in slot:
+                ei.append(slot[int(a)]); ej.append(slot[int(b)])
+                Sij.append(np.asarray(Sab, np.float32)); w.append(wt)
+        # the new loop edge: S_cur←matched = S12
+        ei.append(slot[ev.kf_cur]); ej.append(slot[ev.kf_matched]); w.append(10.0)
+        Sij.append(ev.S12.astype(np.float32))
+        return ei, ej, Sij, w
+
+    def _correct_loop(self, ev: LoopEvent, run_pose_graph: bool = True):
+        """Reference ``CorrectLoop`` (LoopClosing.cc:969-1214): fuse the
+        loop-side landmarks into the Sim3-corrected covisible window,
+        optimize the essential graph over the full accumulated edge set,
+        re-anchor landmarks, record the constraint for future graphs."""
+        m = self.map
+        # duplicate fusion FIRST (in the corrected frame), so the pose
+        # graph benefits from the strengthened covisibility
+        self._search_and_fuse(ev)
+
         valid = m.valid_kf_ids()
         K = valid.size
         slot = {int(k): i for i, k in enumerate(valid)}
-
-        # nodes: current SE3 poses as Sim3
         nodes = np.concatenate(
             [m.kf_pose[valid], np.ones((K, 1), np.float32)], axis=1
         )
         old_nodes = nodes.copy()
-
-        # edges: sequential chain (spanning-tree equivalent) + strong covis
-        ei, ej, Sij, w = [], [], [], []
-        nodes_j = jnp.asarray(nodes)
-        for a in range(1, K):
-            i, j = int(valid[a]), int(valid[a - 1])
-            ei.append(slot[i]); ej.append(slot[j]); w.append(1.0)
-            Sij.append(np.asarray(pose_graph.relative_sim3(nodes_j, slot[i], slot[j])))
-        # loop edge with the MEASURED relative Sim3:
-        # S_cur_w(corrected) = S12 · S_matched_w  ⇒  S_cur←matched = S12
-        ei.append(slot[ev.kf_cur]); ej.append(slot[ev.kf_matched]); w.append(10.0)
-        Sij.append(ev.S12.astype(np.float32))
+        ei, ej, Sij, w = self._essential_edges(valid, slot, ev)
 
         problem = pose_graph.PoseGraphProblem(
             nodes=jnp.asarray(nodes.astype(np.float32)),
@@ -223,6 +382,9 @@ class LoopCloser:
             cur_lms, old_lms = self._pending_fusion
             self._fuse(cur_lms, old_lms)
             self._pending_fusion = None
+        # the constraint joins every future essential graph
+        self.extra_edges.append(
+            (int(ev.kf_cur), int(ev.kf_matched), ev.S12.astype(np.float32), 10.0))
         m.version += 1
 
         # global BA after the correction (reference launches the GBA
@@ -254,4 +416,7 @@ class LoopCloser:
         remap[cur_lms[keep]] = old_lms[keep]
         bound = m.kf_lm_idx >= 0
         m.kf_lm_idx[bound] = remap[m.kf_lm_idx[bound]]
-        m.lm_valid[cur_lms[keep]] = False
+        losers = np.unique(cur_lms[keep])
+        m.lm_valid[losers] = False
+        m.lm_gen[losers] += 1
+        m.lm_free.extend(int(i) for i in losers)

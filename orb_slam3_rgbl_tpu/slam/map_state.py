@@ -246,6 +246,34 @@ class MapState:
         out = order[: n]
         return out[w[out] >= min_weight]
 
+    def covisibility_matrix(self, max_obs: int = 12):
+        """Full pairwise covisibility weights over live keyframes.
+
+        Returns (valid_kf_ids (K,), W (K, K) int32). Counts shared
+        landmarks between every keyframe pair (``KeyFrame::
+        UpdateConnections`` weights) from the landmark-major observation
+        table; observations are capped at ``max_obs`` per landmark, which
+        mildly undercounts weights in very dense covisibility (only the
+        first ``max_obs`` observers of a landmark pair up) — fine for the
+        weight≥100 essential-graph gate this feeds (Optimizer.cc:1545)."""
+        valid = self.valid_kf_ids()
+        tbl = self.kf_lm_idx[valid]
+        lm_ids = np.unique(tbl[tbl >= 0])
+        K = valid.size
+        W = np.zeros((K, K), np.int32)
+        if lm_ids.size == 0 or K == 0:
+            return valid, W
+        obs_kf, _, obs_mask, _, _ = self.gather_observations(valid, lm_ids, max_obs)
+        D = obs_kf.shape[1]
+        for d1 in range(D):
+            s1 = obs_mask[:, d1]
+            for d2 in range(d1 + 1, D):
+                sel = s1 & obs_mask[:, d2]
+                if sel.any():
+                    np.add.at(W, (obs_kf[sel, d1], obs_kf[sel, d2]), 1)
+        W = W + W.T
+        return valid, W
+
     # --- observation table for BA ------------------------------------------
     def gather_observations(
         self, kf_ids: np.ndarray, lm_ids: np.ndarray, max_obs: int

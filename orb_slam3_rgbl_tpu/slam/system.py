@@ -403,6 +403,11 @@ class System:
         self.loop_closer.db = db
         # suppress immediate re-detection around the weld
         self.loop_closer.last_loop_kf = res.kf_cur_new
+        # the weld constraint joins every future essential graph
+        # (reference KeyFrame::AddMergeEdge, LoopClosing.cc MergeLocal)
+        self.loop_closer.extra_edges.append(
+            (int(res.kf_cur_new), int(kf_cand), np.asarray(S12, np.float32), 10.0))
+        self.loop_closer._consistent_groups = []
 
         # --- atlas bookkeeping --------------------------------------------
         self.atlas.entries.remove(active_entry)
