@@ -237,7 +237,10 @@ def load_config(path: str, sensor: int = RGBL) -> SlamConfig:
         k1=float(g("Camera.k1", g("Camera1.k1", 0.0))),
         k2=float(g("Camera.k2", g("Camera1.k2", 0.0))),
         p1=float(g("Camera.p1", g("Camera1.p1", 0.0))),
-        p2=float(g("Camera.p2", g("Camera1.p2", 0.0))),
+        # KannalaBrandt8 configs carry k1..k4 (no tangential terms):
+        # k4 rides in the p2 slot (System's fisheye path unpacks it)
+        p2=float(g("Camera.p2", g("Camera1.p2",
+                   g("Camera.k4", g("Camera1.k4", 0.0))))),
         k3=float(g("Camera.k3", g("Camera1.k3", 0.0))),
         width=int(g("Camera.width", 1241)),
         height=int(g("Camera.height", 376)),
@@ -251,7 +254,8 @@ def load_config(path: str, sensor: int = RGBL) -> SlamConfig:
             fx=float(g("Camera2.fx")), fy=float(g("Camera2.fy")),
             cx=float(g("Camera2.cx")), cy=float(g("Camera2.cy")),
             k1=float(g("Camera2.k1", 0.0)), k2=float(g("Camera2.k2", 0.0)),
-            p1=float(g("Camera2.p1", 0.0)), p2=float(g("Camera2.p2", 0.0)),
+            p1=float(g("Camera2.p1", 0.0)),
+            p2=float(g("Camera2.p2", g("Camera2.k4", 0.0))),
             k3=float(g("Camera2.k3", 0.0)),
             T_c1_c2=tuple(T.reshape(-1).tolist()),
             needs_rectify=str(g("Camera.type", "PinHole")) != "Rectified",

@@ -278,7 +278,9 @@ def kb8_epipolar_constrain(
     pinhole point-to-line test does not apply)."""
     _, _, valid = kb8_triangulate_matches(
         cam1, cam2, T_12, uv1, uv2, sigma2, sigma2, unc_th=unc_th,
-        min_parallax_cos=1.0,  # pure consistency check, no parallax gate
+        # pure consistency check: cos ≤ 1 < 2 always passes — a 1.0 bound
+        # would reject exactly-parallel rays on float noise (ADVICE r2)
+        min_parallax_cos=2.0,
     )
     return valid
 

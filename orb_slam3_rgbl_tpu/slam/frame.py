@@ -200,6 +200,47 @@ def attach_stereo_depth(
     return feats_l._replace(depth=depth, u_right=u_right)
 
 
+def attach_stereo_fisheye_depth(
+    feats_l: FrameFeatures,
+    feats_r: FrameFeatures,
+    cam_l,
+    cam_r,
+    T_lr: jax.Array,
+    bf: float,
+    n_levels: int = 8,
+    scale_factor: float = 1.2,
+) -> FrameFeatures:
+    """Stereo-fisheye (two KannalaBrandt8 cameras, unrectified): mutual
+    descriptor matching gated by the fisheye epipolar/triangulation
+    consistency check, then two-view triangulation for per-feature depth
+    (≡ ``Frame::ComputeStereoFishEyeMatches`` + ``KannalaBrandt8::
+    TriangulateMatches``, reference ``Frame.cc:1164+`` /
+    ``KannalaBrandt8.cpp``). Rectification-free: fisheye epipolar curves
+    make row-banding inapplicable."""
+    from orb_slam3_rgbl_tpu.geometry import camera as cam_mod
+    from orb_slam3_rgbl_tpu.ops import matching
+
+    d = matching.distance_table(feats_l.desc, feats_r.desc,
+                                feats_l.valid, feats_r.valid)
+    idx, _ = matching.mutual_best_match(
+        d, feats_l.angle, feats_r.angle,
+        th=matching.TH_LOW, ratio=0.8, check_rotation=True)
+    matched = idx >= 0
+    safe = jnp.clip(idx, 0, feats_r.uv.shape[0] - 1)
+    uv_r = feats_r.uv[safe]
+    s2 = jnp.asarray(scale_factor, jnp.float32) ** (
+        2.0 * feats_l.octave.astype(jnp.float32))
+    X_l, z, ok = cam_mod.kb8_triangulate_matches(
+        cam_l, cam_r, T_lr, feats_l.uv, uv_r, s2, s2)
+    good = matched & ok & feats_l.valid
+    depth = jnp.where(good, z, -1.0)
+    # pseudo-stereo column is undefined for fisheye; the engine's stereo
+    # residual keys off u_right >= 0, so mark these as depth-only (mono
+    # residual + depth-created landmarks), like the reference which keeps
+    # triangulated fisheye points without mvuRight
+    return feats_l._replace(depth=depth)
+
+
 @jax.jit
 def attach_depth_map(feats: FrameFeatures, depth_map: jax.Array, bf: float, depth_factor: float = 1.0) -> FrameFeatures:
     """RGB-D: sample a precomputed depth image at the keypoints

@@ -204,6 +204,34 @@ class System:
             )
         feats_l = self._extract(gray_l)
         feats_r = self._extract(gray_r)
+        if (self.cfg.camera_type == "KannalaBrandt8"
+                and self.cfg.stereo is not None):
+            # stereo-fisheye: epipolar-consistent matching + two-view
+            # triangulation instead of rectified row matching (reference
+            # Frame stereo-fisheye ctor, Frame.cc:1164+). NOTE documented
+            # deviation: downstream reprojection residuals stay pinhole
+            # (valid near the optical axis; full KB8 residuals are a
+            # future camera-model generalization of optim/*).
+            from orb_slam3_rgbl_tpu.geometry import lie as _lie
+            from orb_slam3_rgbl_tpu.geometry.camera import KannalaBrandt8Camera
+
+            c, st = self.cfg.camera, self.cfg.stereo
+            cam_l = KannalaBrandt8Camera(
+                fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+                k0=c.k1, k1=c.k2, k2=c.k3, k3=c.p2,
+                width=c.width, height=c.height, bf=c.bf)
+            cam_r = KannalaBrandt8Camera(
+                fx=st.fx, fy=st.fy, cx=st.cx, cy=st.cy,
+                k0=st.k1, k1=st.k2, k2=st.k3, k3=st.p2,
+                width=c.width, height=c.height, bf=c.bf)
+            T = np.asarray(st.T_c1_c2, np.float32).reshape(4, 4)
+            q = _lie.matrix_to_quat(jnp.asarray(T[:3, :3]))
+            T_lr = jnp.concatenate([q, jnp.asarray(T[:3, 3])])
+            feats = frame_mod.attach_stereo_fisheye_depth(
+                feats_l, feats_r, cam_l, cam_r, T_lr, self.cam.bf,
+                n_levels=self.cfg.orb.n_levels,
+                scale_factor=self.cfg.orb.scale_factor)
+            return self._track(feats, timestamp, imu=imu)
         feats = frame_mod.attach_stereo_depth(
             feats_l, feats_r, self.cam.bf,
             min_disp=0.0, max_disp=self.cam.bf / 0.5,  # z ≥ 0.5 m

@@ -328,6 +328,7 @@ class Tracker:
         """Motion-model (or reference-KF) tracking then local-map
         refinement. Returns (ok, n_inliers)."""
         lm_idx = None
+        self._loc_total_inliers = 0
         if self.state in (RECENTLY_LOST, LOST):
             # reference Tracking.cc:2019-2053: RECENTLY_LOST attempts
             # relocalization before giving up
@@ -361,6 +362,12 @@ class Tracker:
         need = 50 if self.frame_id < self.last_reloc_frame + self.max_frames else 30
         if self.inertial and self.map.imu_initialized:
             need = 15
+        if self.only_tracking and n_inl < need:
+            # reference localization mode keeps going on visual-odometry
+            # evidence alone (mbVO, ≥20 total matches — Tracking.cc:2106)
+            total = getattr(self, "_loc_total_inliers", 0)
+            if total >= 20:
+                return True, n_inl
         return n_inl >= need, n_inl
 
     # ------------------------------------------------------------------
@@ -476,10 +483,55 @@ class Tracker:
         Poct[:m] = np.asarray(self.last_feats.octave)[np.nonzero(sel)[0][:m]]
         Pangle[:m] = np.asarray(self.last_feats.angle)[np.nonzero(sel)[0][:m]]
         Pvalid[:m] = True
-        lm_idx, n = self._match_and_bind(feats, pred, P, Pdesc, Poct, Pvalid,
-                                         ids_global=ids[:m], th=th, Pangle=Pangle)
-        if n < 10:
+        ids_global = np.full(cap, -1, np.int64)
+        ids_global[:m] = ids[:m]
+        if self.only_tracking and m < cap:
+            # localization mode: temporal visual-odometry points from the
+            # last frame's close unbound depth (reference UpdateLastFrame,
+            # Tracking.cc:2815-2886 — lets tracking continue through
+            # regions the frozen map never covered)
+            lf_d = np.asarray(self.last_feats.depth)
+            lf_valid = np.asarray(self.last_feats.valid)
+            vo = np.nonzero(lf_valid & (lf_d > 0) & (self.last_lm_idx < 0))[0]
+            if vo.size:
+                order_d = vo[np.argsort(lf_d[vo])]
+                keep = order_d[(lf_d[order_d] < self.th_depth_m)
+                               | (np.arange(order_d.size) < 100)]
+                keep = keep[: cap - m]
+                if keep.size:
+                    uv_l = np.asarray(self.last_feats.uv)[keep]
+                    Xvo = self._unproject(uv_l, lf_d[keep], self.last_pose)
+                    e = m + keep.size
+                    P[m:e] = Xvo
+                    Pdesc[m:e] = np.asarray(self.last_feats.desc)[keep]
+                    Poct[m:e] = np.asarray(self.last_feats.octave)[keep]
+                    Pangle[m:e] = np.asarray(self.last_feats.angle)[keep]
+                    Pvalid[m:e] = True
+                    ids_global[m:e] = -2  # VO sentinel: pose-only evidence
+        lm_idx, n, feat_slot = self._match_and_bind(
+            feats, pred, P, Pdesc, Poct, Pvalid,
+            ids_global=ids_global, th=th, Pangle=Pangle)
+        has_vo = self.only_tracking and (ids_global == -2).any()
+        n_total = int((feat_slot >= 0).sum())
+        if (n if not has_vo else n_total) < 10:
             return lm_idx, n
+        if has_vo:
+            # optimize against map + VO structure jointly; only map
+            # matches stay bound afterwards
+            Xw = P[np.clip(feat_slot, 0, cap - 1)]
+            obs = pose_opt.PoseObs(
+                Xw=jnp.asarray(Xw), uv=feats.uv, u_right=feats.u_right,
+                inv_sigma2=jnp.asarray(self.inv_sigma2[
+                    np.clip(np.asarray(feats.octave), 0, len(self.inv_sigma2) - 1)]),
+                valid=jnp.asarray(feat_slot >= 0) & feats.valid,
+            )
+            res = pose_opt.pose_optimize(jnp.asarray(pred, jnp.float32), obs, self.cam)
+            self.cur_pose = np.asarray(res.Tcw, np.float32)
+            inliers = np.asarray(res.inliers)
+            self._loc_total_inliers = int(res.n_inliers)
+            lm_idx = np.where(inliers, lm_idx, -1)
+            lm_idx = np.where(lm_idx == -2, -1, lm_idx)
+            return lm_idx, int((lm_idx >= 0).sum())
         # pose optimization on the bindings
         pose, n_inl, inliers = self._optimize_pose(feats, lm_idx, pred)
         self.cur_pose = pose
@@ -542,7 +594,7 @@ class Tracker:
             Pvalid[:m] = True
             # visibility bookkeeping
             self.map.lm_visible[sel] += 1
-            extra_idx, _ = self._match_and_bind(
+            extra_idx, _, _ = self._match_and_bind(
                 feats, self.cur_pose, P, Pdesc, Poct, Pvalid, ids_global=sel,
                 th=4.0, exclude_bound=lm_idx,
             )
@@ -616,13 +668,15 @@ class Tracker:
         dist = np.asarray(dist)
         # resolve collisions feature-wise: keep the closest landmark
         lm_idx = np.full(self.n_feat, -1, np.int32)
+        feat_slot = np.full(self.n_feat, -1, np.int32)
         hit = np.nonzero(idx >= 0)[0]
         if hit.size:
             order = hit[np.argsort(dist[hit], kind="stable")]
             feats_of = idx[order]
             first = np.unique(feats_of, return_index=True)[1]
             lm_idx[feats_of[first]] = ids_global[order[first]]
-        return lm_idx, int((lm_idx >= 0).sum())
+            feat_slot[feats_of[first]] = order[first].astype(np.int32)
+        return lm_idx, int((lm_idx >= 0).sum()), feat_slot
 
     def _optimize_pose(self, feats, lm_idx, init_pose):
         bound = lm_idx >= 0
@@ -730,7 +784,7 @@ class Tracker:
                 P[:mm] = self.map.lm_pos[cand_lms[:mm]]
                 Pdesc[:mm] = self.map.lm_desc[cand_lms[:mm]]
                 Pvalid[:mm] = True
-                extra, _ = self._match_and_bind(
+                extra, _, _ = self._match_and_bind(
                     feats, pose, P, Pdesc, Poct, Pvalid,
                     ids_global=cand_lms[:mm], th=10.0, exclude_bound=lm_idx,
                 )

@@ -160,3 +160,35 @@ class TestSystemLifecycle:
         assert sys.atlas is None
         r = sys.track_features(world.render(gt[13]), timestamp=1.3)
         assert r.state == trk.OK and sys.map.n_kf >= 1
+
+
+class TestLocalizationMode:
+    def test_frozen_map_localization_with_vo_points(self, rng):
+        """Reference ActivateLocalizationMode semantics: map frozen (no
+        keyframes, no landmark growth), tracking continues against it —
+        and through briefly-unmapped territory on temporal VO points
+        (UpdateLastFrame, Tracking.cc:2815-2886)."""
+        cfg = kitti_rgbl_config()
+        world = SyntheticWorld(rng, cam=cfg.camera, length=40 * 0.8)
+        gt = world.trajectory(40, step=0.8)
+        sys = System(cfg)
+        results = [sys.track_features(world.render(gt[i]), i * 0.1)
+                   for i in range(40)]
+        assert all(r.state == trk.OK for r in results)
+        n_kf_before = sys.map.n_kf
+        n_lm_before = int(sys.map.lm_valid.sum())
+        sys.activate_localization_mode()
+
+        # drive back through the mapped corridor (reverse of the last 25
+        # poses) against the FROZEN map
+        states = []
+        t = 4.0
+        for T in gt[::-1][:25]:
+            r = sys.track_features(world.render(T), t)
+            states.append(r.state)
+            t += 0.1
+        ok_frac = np.mean([s == trk.OK for s in states])
+        assert ok_frac > 0.9, states
+        # the frozen map did not grow
+        assert sys.map.n_kf == n_kf_before
+        assert int(sys.map.lm_valid.sum()) <= n_lm_before
