@@ -1,4 +1,14 @@
-"""Benchmark: per-chip frames/s of the fused RGB-L frame step.
+"""Benchmark: per-chip frames/s of the RGB-L ENGINE (primary metric)
+plus the fused frame-step kernel (secondary).
+
+The primary number is the sustained throughput of the REAL
+``System.track_rgbl`` loop — mapping, duplicate fusion, local BA and loop
+closing all ON — measured by ``bench_engine.run_engine_bench`` on
+device-rendered KITTI-regime synthetic frames (VERDICT r2: the headline
+must be the engine, not a kernel).
+
+Secondary: the single-dispatch frame-step kernel (extraction + depth +
+matching + pose solve) in isolation — the per-frame device-time floor.
 
 Measures the complete per-frame hot path of SURVEY.md §3.2 as a single
 jitted XLA program on KITTI-regime inputs (1241×376 gray, ~131k LiDAR
@@ -35,7 +45,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def kernel_fps():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from orb_slam3_rgbl_tpu.config import kitti_rgbl_config
     from orb_slam3_rgbl_tpu.slam.compiled import make_frame_step, example_inputs
@@ -73,11 +83,23 @@ def main():
     fps = 1.0 / dt
 
     print(f"frame step: {dt*1e3:.2f} ms -> {fps:.1f} FPS", file=sys.stderr)
+    return round(fps, 2)
+
+
+def main():
+    from bench_engine import run_engine_bench
+
+    n = int(os.environ.get("BENCH_ENGINE_FRAMES", "110"))
+    eng = run_engine_bench(n_frames=n)
+    kfps = kernel_fps()
     print(json.dumps({
-        "metric": "rgbl_frame_step_fps",
-        "value": round(fps, 2),
+        "metric": "rgbl_engine_fps",
+        "value": eng["engine_fps"],
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps / 10.0, 3),
+        "vs_baseline": round(eng["engine_fps"] / 10.0, 3),
+        "median_frame_ms": eng["median_frame_ms"],
+        "ate_m": eng["ate_m"],
+        "kernel_frame_step_fps": kfps,
     }))
 
 

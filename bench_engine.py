@@ -1,6 +1,6 @@
 """ENGINE benchmark: sustained frames/s of the REAL ``System.track_rgbl``
 loop — mapping, fusion, local BA, and loop closing all ON — not just the
-fused kernel (that is ``bench.py``'s `rgbl_frame_step_fps`).
+fused kernel (that is `rgbl_frame_step_fps`).
 
 Input regime matches KITTI RGB-L (1241×376 gray, 131k-point clouds, 2000
 ORB features, 8 levels, InverseDilation Diamond-5). Frames are rendered
@@ -9,12 +9,12 @@ traffic — the measurement tunnel's ~14 MB/s would otherwise dominate; a
 deployment streams sensor data over PCIe).
 
 Method: pre-render F frames on device with exact ground truth; warm up
-over the first W frames (compiles + first keyframes); time the remaining
-frames wall-clock (each frame's control loop downloads the pose, so the
-clock sees completed work). Reports sustained FPS, per-stage timings
-(REGISTER_TIMES taxonomy), and the run's ATE as a sanity gate.
-
-Prints ONE JSON line; pass --json-only to silence the report.
+over the first W frames AND force-compile the classic fallback ladder
+(the tunnel TPU backend does not persist executables, so every program
+must compile inside this process before the clock starts); time the
+remaining frames wall-clock (each frame's control loop downloads the
+pose, so the clock sees completed work). Reports sustained FPS, the
+REGISTER_TIMES stage taxonomy, and the run's ATE as a sanity gate.
 """
 
 import json
@@ -30,7 +30,8 @@ os.environ.setdefault(
 import numpy as np
 
 
-def main(n_frames: int = 100, warmup: int = 30):
+def run_engine_bench(n_frames: int = 110, warmup: int = 40,
+                     log=lambda *a: print(*a, file=sys.stderr)) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -56,8 +57,8 @@ def main(n_frames: int = 100, warmup: int = 30):
                                      cam.height, cam.width))
         clouds.append(syn.lidar_scan(world, T, n_az=1024, n_el=128))
     jax.block_until_ready(imgs[-1])
-    print(f"rendered {n_frames} frames in {time.perf_counter()-t0:.1f}s "
-          f"on {jax.devices()[0]}", file=sys.stderr)
+    log(f"rendered {n_frames} frames in {time.perf_counter()-t0:.1f}s "
+        f"on {jax.devices()[0]}")
 
     sysm = System(cfg)
     sysm.CLOUD_CAP = int(clouds[0].shape[0])
@@ -66,10 +67,15 @@ def main(n_frames: int = 100, warmup: int = 30):
 
     # ---- warmup: compiles + map bootstrap -------------------------------
     t0 = time.perf_counter()
-    for i in range(warmup):
+    for i in range(warmup - 3):
         sysm.track_rgbl(imgs[i], clouds[i], i * 0.1)
-    print(f"warmup {warmup} frames: {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
+    # force-compile the classic per-stage ladder (reloc/recovery path) so
+    # a mid-run fallback frame costs milliseconds, not a compile
+    sysm.use_fused = False
+    for i in range(warmup - 3, warmup):
+        sysm.track_rgbl(imgs[i], clouds[i], i * 0.1)
+    sysm.use_fused = True
+    log(f"warmup {warmup} frames: {time.perf_counter()-t0:.1f}s")
 
     # ---- timed engine loop ----------------------------------------------
     t0 = time.perf_counter()
@@ -88,22 +94,30 @@ def main(n_frames: int = 100, warmup: int = 30):
     err = float(ate_rmse(jnp.asarray(est[:, 4:7]),
                          jnp.asarray(gt[:, 4:7] - gt[0, 4:7])))
 
-    print(timer.report(), file=sys.stderr)
-    print(f"engine: {fps:.1f} FPS sustained ({med_ms:.1f} ms median/frame), "
-          f"{sysm.map.n_kf} KFs, {int(sysm.map.lm_valid.sum())} landmarks, "
-          f"ATE {err:.3f} m over {n_frames} frames", file=sys.stderr)
-    print(json.dumps({
-        "metric": "rgbl_engine_fps",
-        "value": round(fps, 2),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(fps / 10.0, 3),
+    log(timer.report())
+    log(f"engine: {fps:.1f} FPS sustained ({med_ms:.1f} ms median/frame), "
+        f"{sysm.map.n_kf} KFs, {int(sysm.map.lm_valid.sum())} landmarks, "
+        f"ATE {err:.3f} m over {n_frames} frames")
+    return {
+        "engine_fps": round(fps, 2),
         "median_frame_ms": round(med_ms, 2),
         "ate_m": round(err, 4),
         "n_kf": int(sysm.map.n_kf),
+        "n_landmarks": int(sysm.map.lm_valid.sum()),
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 110
+    out = run_engine_bench(n_frames=n)
+    print(json.dumps({
+        "metric": "rgbl_engine_fps",
+        "value": out["engine_fps"],
+        "unit": "frames/s/chip",
+        "vs_baseline": round(out["engine_fps"] / 10.0, 3),
+        **{k: v for k, v in out.items() if k != "engine_fps"},
     }))
-    return fps
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    main(n_frames=n)
+    main()

@@ -957,17 +957,26 @@ class Tracker:
                     pred = self._predict_pose_fused()
                 with timer.stage("lm_track"):
                     out = fp.run(img, points, cloud_valid, pred)
-                    n_inl = int(out.n_inliers)
+                    host = self._download_fused(out)
             else:
                 fp.sync(self.map, self.ref_kf, self.last_feats, self.last_lm_idx)
                 out = fp.run(img, points, cloud_valid, self._predict_pose_fused())
-                n_inl = int(out.n_inliers)
-            if n_inl >= 30:
-                return self._accept_fused(out, timestamp, n_inl, timer=timer)
+                host = self._download_fused(out)
+            if host[0] >= 30:
+                return self._accept_fused(out, host, timestamp, timer=timer)
             feats = out.feats  # reuse the extraction for the classic ladder
         else:
             feats = self._extract_rgbl(img, points, cloud_valid)
         return self.track(feats, timestamp)
+
+    @staticmethod
+    def _download_fused(out):
+        """ONE bulk host transfer for everything the control loop needs —
+        separate np.asarray calls would pay a tunnel round-trip each."""
+        vals = jax.device_get((out.n_inliers, out.Tcw, out.bind_prev,
+                               out.bind_win, out.win_visible,
+                               out.n_tracked_close, out.n_nontracked_close))
+        return (int(vals[0]),) + vals[1:]
 
     def _extract_rgbl(self, img, points, cloud_valid) -> FrameFeatures:
         from orb_slam3_rgbl_tpu.ops import depth as depth_ops
@@ -1003,6 +1012,10 @@ class Tracker:
         by ≥ 3 keyframes (≥ 2 while the map is tiny) — NOT all bound
         features, which would overcount the fresh depth-created points and
         force a keyframe every frame."""
+        key = (self.map.version, self.ref_kf)
+        cached = getattr(self, "_ref_tracked_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         min_obs = 3 if self.map.n_kf > 2 else 2
         ids = self.map.kf_lm_idx[self.ref_kf]
         ids = ids[ids >= 0]
@@ -1014,7 +1027,11 @@ class Tracker:
         # right after stereo init): fall back to the bound count so the
         # ratio clause can trigger the SECOND keyframe at all; the
         # reference escapes this via close-point starvation on real data
-        return n if n > 0 else ids.size
+        out = n if n > 0 else ids.size
+        # observation counts only move on structural map changes — cache
+        # per (version, ref_kf) so the per-frame policy stays O(1)
+        self._ref_tracked_cache = (key, out)
+        return out
 
     def _fast_kf_policy(self, n_inl: int, tracked_close: int,
                         nontracked_close: int) -> bool:
@@ -1039,16 +1056,12 @@ class Tracker:
         c2 = (n_inl < ref_matches * th_ref or need_close) and n_inl > 15
         return (c1a or c1b or c1c) and c2
 
-    def _accept_fused(self, out, timestamp: float, n_inl: int,
+    def _accept_fused(self, out, host, timestamp: float,
                       timer=None) -> TrackResult:
         fp = self.fast
         self.frame_id += 1
         self.new_kf_ids = []
-        # ONE bulk host transfer for everything the control loop needs —
-        # per-array np.asarray would pay a tunnel round-trip each
-        pose, bind_prev, bind_win, win_visible, n_tc, n_ntc = jax.device_get(
-            (out.Tcw, out.bind_prev, out.bind_win, out.win_visible,
-             out.n_tracked_close, out.n_nontracked_close))
+        n_inl, pose, bind_prev, bind_win, win_visible, n_tc, n_ntc = host
         pose = np.asarray(pose, np.float32)
         cur = np.full(self.n_feat, -1, np.int32)
         pm = bind_prev >= 0

