@@ -80,11 +80,18 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
     # ---- timed engine loop ----------------------------------------------
     t0 = time.perf_counter()
     per_frame = []
+    kf_frames = []
     for i in range(warmup, n_frames):
         ta = time.perf_counter()
-        sysm.track_rgbl(imgs[i], clouds[i], i * 0.1)
+        r = sysm.track_rgbl(imgs[i], clouds[i], i * 0.1)
         per_frame.append(time.perf_counter() - ta)
+        if r.created_kf:
+            kf_frames.append(i)
     wall = time.perf_counter() - t0
+    worst = np.argsort(per_frame)[-5:]
+    log("slowest frames: " + ", ".join(
+        f"#{warmup + int(j)}={per_frame[int(j)]*1e3:.0f}ms"
+        f"{'(KF)' if warmup + int(j) in kf_frames else ''}" for j in worst))
     n_timed = n_frames - warmup
     fps = n_timed / wall
     med_ms = float(np.median(per_frame) * 1e3)

@@ -61,6 +61,12 @@ class FastPath:
     def sync(self, m: MapState, ref_kf: int, last_feats, last_lm_idx: np.ndarray):
         """Refresh window + previous-frame device state iff the map
         version moved (≈ once per keyframe / mapping event)."""
+        if getattr(self, "hold", False):
+            # an async mapping job is mutating the map — keep serving the
+            # last consistent snapshot (the reference tracker likewise
+            # reads the map while the mapping thread works; our snapshot
+            # semantics make the race benign instead of locked)
+            return
         if (id(m), m.version) == self._sync_key:
             return
         # --- window: landmarks of the ref-KF covisibility neighborhood ---

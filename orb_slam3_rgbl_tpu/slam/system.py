@@ -81,6 +81,14 @@ class System:
         self._fast = None          # shared FastPath (compiled once per run)
         self.use_fused = True      # single-dispatch engine loop for RGBL
         self.timer = None          # optional StageTimer (REGISTER_TIMES)
+        # async mapping plane (the reference's LocalMapping/LoopClosing
+        # threads, System.cc:198-217): per-keyframe map refinement runs on
+        # a worker while tracking continues on the frozen snapshot; join
+        # points: next keyframe creation, trajectory export, merges.
+        # Default OFF (deterministic tests); the bench/drivers enable it.
+        self.async_mapping = False
+        self._map_exec = None
+        self._map_future = None
         self.P_lidar = jnp.asarray(
             depth_ops.lidar_projection_matrix(
                 np.asarray(self.cam.K), np.asarray(config.lidar.T_velo_cam)
@@ -266,6 +274,7 @@ class System:
         self.map = self.atlas.create_new_map()
         self.tracker = Tracker(self.cfg, self.map, start_frame_id=next_frame)
         self.mapper = LocalMapper(self.cfg, self.map) if self._enable_mapping else None
+        self.tracker.pre_kf_hook = self._join_mapping
         if self._fast is not None:
             self.tracker.fast = self._fast
         if self.cfg.loop_closing:
@@ -281,16 +290,54 @@ class System:
         res = self.tracker.track(feats, timestamp, imu=imu)
         return self._post_track(res)
 
+    def _join_mapping(self):
+        """Wait for the in-flight mapping/loop job (≡ the reference's
+        SetNotStop / queue-drain gates before structural operations).
+        Atlas merges surfaced by the worker run HERE, on the calling
+        thread — merging rebinds the tracker and must not race it."""
+        if self._map_future is not None:
+            pending = self._map_future.result()
+            self._map_future = None
+            if self._fast is not None:
+                self._fast.hold = False
+            if pending is not None:
+                self._try_merge(pending)
+
+    def _mapping_job(self, kf_id: int, defer_merge: bool):
+        if self.mapper is not None and self.map.n_kf > 1:
+            self.mapper.process_keyframe(kf_id)
+        if self.loop_closer is not None:
+            ev = self.loop_closer.on_keyframe(kf_id)
+            if ev is None:
+                if defer_merge:
+                    return kf_id       # merge candidate → main thread
+                self._try_merge(kf_id)
+        return None
+
+    def _dispatch_mapping(self, kf_id: int):
+        # inertial modes stay synchronous: IMU init / VIBA interleave with
+        # tracking state and are not snapshot-tolerant
+        if not self.async_mapping or self.cfg.inertial:
+            self._mapping_job(kf_id, defer_merge=False)
+            return
+        if self._map_exec is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._map_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mapping")
+        if self._fast is not None:
+            self._fast.hold = True
+        self._map_future = self._map_exec.submit(
+            self._mapping_job, kf_id, True)
+
     def _post_track(self, res: TrackResult) -> TrackResult:
         """Mapping / loop-closing / recovery phases after the tracking
         stage (the reference's THREAD 2/3 handoffs, System.cc:198-217)."""
+        if (self._map_future is not None and self._map_future.done()):
+            self._join_mapping()
         for kf_id in self.tracker.new_kf_ids:
-            if self.mapper is not None and self.map.n_kf > 1 and kf_id == self.tracker.new_kf_ids[-1]:
-                self.mapper.process_keyframe(kf_id)
-            if self.loop_closer is not None:
-                ev = self.loop_closer.on_keyframe(kf_id)
-                if ev is None:
-                    self._try_merge(kf_id)
+            if kf_id == self.tracker.new_kf_ids[-1]:
+                self._dispatch_mapping(kf_id)
         if (self.cfg.inertial and self.mapper is not None
                 and self.tracker.new_kf_ids and self.map.imu_initialized):
             # VIBA1/VIBA2 refinement schedule (LocalMapping.cc:218-256)
@@ -335,6 +382,13 @@ class System:
         return res
 
     # ------------------------------------------------------------------
+    def shutdown(self):
+        """Drain the mapping plane (``System::Shutdown``)."""
+        self._join_mapping()
+        if self._map_exec is not None:
+            self._map_exec.shutdown(wait=True)
+            self._map_exec = None
+
     def _try_merge(self, kf_id: int) -> bool:
         """Cross-map place recognition + Atlas weld (reference
         ``NewDetectCommonRegions`` merge branch → ``MergeLocal``,
@@ -460,6 +514,7 @@ class System:
         """World-frame camera poses Twc (F, 7) across all atlas maps
         (each segment resolves against its own, possibly BA/loop-corrected
         keyframe poses — ``SaveTrajectoryKITTI`` semantics)."""
+        self._join_mapping()
         if self.atlas is None:
             return np.zeros((0, 7), np.float32)
         self.atlas.archive_trajectory(self.tracker)
@@ -586,5 +641,4 @@ class System:
             self.tracker.kf_db = entry.db
         self._lost_streak = 0
 
-    def shutdown(self):
-        pass
+

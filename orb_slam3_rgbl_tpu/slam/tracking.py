@@ -66,6 +66,9 @@ class Tracker:
         self.n_feat = None  # set on first frame
         self.kf_db = None   # KeyFrameDatabase, wired by System for reloc
         self.fast = None    # FastPath, wired by System for the fused loop
+        self.pre_kf_hook = None  # called right before keyframe creation
+        #   (System joins the async mapping plane here — the reference's
+        #   LocalMapping::SetNotStop/queue gate)
         self._reloc_key = jax.random.PRNGKey(13)
         self.is_mono = config.sensor in (MONOCULAR, IMU_MONOCULAR)
         self._mono_ref = None          # (FrameFeatures, timestamp) init reference
@@ -845,6 +848,8 @@ class Tracker:
         return True
 
     def _create_keyframe(self, feats, timestamp):
+        if self.pre_kf_hook is not None:
+            self.pre_kf_hook()
         uv = np.asarray(feats.uv)
         depth = np.asarray(feats.depth)
         valid = np.asarray(feats.valid)
@@ -901,9 +906,11 @@ class Tracker:
     def _unproject(self, uv: np.ndarray, depth: np.ndarray, Tcw) -> np.ndarray:
         x = (uv[:, 0] - self.cam.cx) / self.cam.fx * depth
         y = (uv[:, 1] - self.cam.cy) / self.cam.fy * depth
-        pc = np.stack([x, y, depth], axis=1)
-        Twc = lie.se3_inv(jnp.asarray(Tcw))
-        return np.asarray(lie.se3_apply(Twc, jnp.asarray(pc.astype(np.float32))))
+        pc = np.stack([x, y, depth], axis=1).astype(np.float32)
+        # pure numpy: the input size varies per keyframe — a jitted kernel
+        # would recompile on every call (seconds each on the TPU tunnel)
+        Twc = lie.np_se3_inv(np.asarray(Tcw, np.float32))
+        return lie.np_quat_rotate(Twc[:4], pc) + Twc[4:7]
 
     def _update_last(self, feats):
         if self.state == OK:

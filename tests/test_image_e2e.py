@@ -67,3 +67,31 @@ class TestImageEndToEnd:
         assert states[17] == trk.OK
         assert any(s in (trk.RECENTLY_LOST, trk.LOST) for s in states[18:23])
         assert all(s == trk.OK for s in states[26:]), states
+
+
+class TestAsyncMapping:
+    def test_async_plane_matches_sync(self, world):
+        """The async mapping plane (reference LocalMapping thread analog)
+        must produce the same qualitative result as inline mapping:
+        all-OK tracking, bounded ATE, keyframes + landmarks created."""
+        traj = syn.straight_trajectory(30, step=0.6, weave=0.4)
+        cfg = syn.synthetic_rgbl_config()
+        cam = cfg.camera
+        sysm = System(cfg)
+        sysm.CLOUD_CAP = 16384
+        sysm.async_mapping = True
+        states = []
+        for i, Twc in enumerate(traj):
+            img = np.asarray(syn.render_image(
+                world, jnp.asarray(Twc), cam.fx, cam.fy, cam.cx, cam.cy,
+                cam.height, cam.width))
+            pts = np.asarray(syn.lidar_scan(world, jnp.asarray(Twc),
+                                            n_az=256, n_el=48))
+            states.append(sysm.track_rgbl(img, pts, i * 0.1).state)
+        sysm.shutdown()
+        assert all(s == trk.OK for s in states), states
+        est = sysm.trajectory()
+        err = float(ate_rmse(jnp.asarray(est[:, 4:7]),
+                             jnp.asarray(traj[:, 4:7] - traj[0, 4:7])))
+        assert err < 0.2, err
+        assert sysm.map.n_kf >= 2
