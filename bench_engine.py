@@ -62,6 +62,7 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
 
     sysm = System(cfg)
     sysm.CLOUD_CAP = int(clouds[0].shape[0])
+    sysm.async_mapping = True   # the reference's mapping thread analog
     timer = StageTimer()
     sysm.timer = timer
 
@@ -75,6 +76,12 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
     for i in range(warmup - 3, warmup):
         sysm.track_rgbl(imgs[i], clouds[i], i * 0.1)
     sysm.use_fused = True
+    # force-compile the local BA (it only runs naturally from the 3rd
+    # keyframe, which may land inside the timed region — a ~4 s compile)
+    sysm._join_mapping()
+    if sysm.mapper is not None and sysm.map.n_kf >= 1:
+        kfs = sysm.map.valid_kf_ids()
+        sysm.mapper.local_bundle_adjustment(int(kfs[-1]))
     log(f"warmup {warmup} frames: {time.perf_counter()-t0:.1f}s")
 
     # ---- timed engine loop ----------------------------------------------

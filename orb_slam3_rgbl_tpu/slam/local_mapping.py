@@ -417,6 +417,13 @@ class LocalMapper:
         obs_kf, obs_feat, obs_mask, obs_uv, obs_ur = self.map.gather_observations(
             window, lm_ids, BA_OBS_CAP
         )
+        if self.map.last_dropped_obs:
+            # no silent caps: dense covisibility exceeded the D-per-landmark
+            # budget (reference local BA keeps every observer)
+            from orb_slam3_rgbl_tpu.utils.logging import log
+
+            log("local BA: %d observations beyond the %d-per-landmark cap "
+                "dropped" % (self.map.last_dropped_obs, BA_OBS_CAP))
         lms = np.zeros((Mw, 3), np.float32)
         lm_valid = np.zeros(Mw, bool)
         lms[: lm_ids.size] = self.map.lm_pos[lm_ids]

@@ -286,9 +286,12 @@ class MapState:
           max_obs: D — cap of observations per landmark inside the window.
 
         Returns (obs_kf_local (Mw, D), obs_feat (Mw, D), obs_mask,
-        obs_uv (Mw, D, 2), obs_ur (Mw, D)).
+        obs_uv (Mw, D, 2), obs_ur (Mw, D)). Observations beyond D per
+        landmark are dropped; the count is recorded in
+        ``self.last_dropped_obs`` so callers can log it (no silent caps).
         """
         Kw, Mw, D = len(kf_ids), len(lm_ids), max_obs
+        self.last_dropped_obs = 0
         lm_slot = np.full(self.capacity_lm + 1, -1, np.int64)
         lm_slot[lm_ids] = np.arange(Mw)
 
@@ -307,6 +310,7 @@ class MapState:
             feat_idx, slots = feat_idx[sel], slots[sel]
             d = fill[slots]
             ok = d < D
+            self.last_dropped_obs += int((~ok).sum())
             feat_idx, slots, d = feat_idx[ok], slots[ok], d[ok]
             obs_kf[slots, d] = local_k
             obs_feat[slots, d] = feat_idx

@@ -114,3 +114,112 @@ def draw_frame_from_system(system, gray: np.ndarray, path: str = "frame.png"):
         n_lm=system.map.n_lm if system.map is not None else 0,
         path=path,
     )
+
+
+def _frustum_segments(Twc: np.ndarray, scale: float = 0.6):
+    """Camera frustum wireframe segments (MapDrawer::DrawKeyFrames
+    geometry, ``src/MapDrawer.cc:178``): apex + 4 image-plane corners."""
+    w, h, z = 0.5 * scale, 0.3 * scale, 0.4 * scale
+    corners = np.array([
+        [0, 0, 0], [w, h, z], [-w, h, z], [-w, -h, z], [w, -h, z]
+    ], np.float32)
+    q, t = Twc[:4], Twc[4:7]
+    pts = lie.np_quat_rotate(q[None, :], corners) + t
+    idx = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (4, 1)]
+    return [(pts[a], pts[b]) for a, b in idx]
+
+
+def plot_map_3d(map_state: MapState, trajectory: Optional[np.ndarray] = None,
+                loop_edges: Optional[list] = None, path: str = "map3d.png",
+                draw_graph: bool = True, frustum_scale: float = 0.6):
+    """3D map view — the offline analog of the Pangolin window
+    (``MapDrawer::DrawMapPoints``/``DrawKeyFrames`` + the covisibility/
+    spanning/loop graph toggle of ``Viewer::Run``): landmarks, keyframe
+    frusta, sequential spanning chain, strong covisibility edges, and
+    loop/merge constraints."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(11, 8))
+    ax = fig.add_subplot(projection="3d")
+    lms = map_state.lm_pos[map_state.lm_valid]
+    if len(lms):
+        ax.scatter(lms[:, 0], lms[:, 2], -lms[:, 1], s=0.3, c="#888888",
+                   alpha=0.5)
+    kfs = map_state.valid_kf_ids()
+    if len(kfs):
+        Twc = np.asarray(lie.np_se3_inv(map_state.kf_pose[kfs]))
+        for T in Twc:
+            for a, b in _frustum_segments(T, frustum_scale):
+                ax.plot([a[0], b[0]], [a[2], b[2]], [-a[1], -b[1]],
+                        c="tab:blue", lw=0.5)
+        centers = Twc[:, 4:7]
+        # spanning chain (the sequential odometry backbone)
+        ax.plot(centers[:, 0], centers[:, 2], -centers[:, 1],
+                c="tab:green", lw=0.8)
+        if draw_graph and len(kfs) > 2:
+            valid, W = map_state.covisibility_matrix()
+            hi, hj = np.nonzero(np.triu(W >= 100, k=1))
+            for a, b in zip(hi, hj):
+                ax.plot([centers[a, 0], centers[b, 0]],
+                        [centers[a, 2], centers[b, 2]],
+                        [-centers[a, 1], -centers[b, 1]],
+                        c="tab:olive", lw=0.3, alpha=0.6)
+        if loop_edges:
+            slot = {int(k): i for i, k in enumerate(kfs)}
+            for e in loop_edges:
+                a, b = int(e[0]), int(e[1])
+                if a in slot and b in slot:
+                    ca, cb = centers[slot[a]], centers[slot[b]]
+                    ax.plot([ca[0], cb[0]], [ca[2], cb[2]], [-ca[1], -cb[1]],
+                            c="tab:red", lw=1.5)
+    if trajectory is not None and len(trajectory):
+        ax.plot(trajectory[:, 4], trajectory[:, 6], -trajectory[:, 5],
+                c="tab:red", lw=0.8)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.set_zlabel("-y [m]")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+class ViewerSession:
+    """Periodic offline rendering during a run — the deployment analog of
+    the reference ``Viewer`` thread (``System.cc:236-244``): every
+    ``every`` frames it saves the FrameDrawer overlay and a map view into
+    ``out_dir`` (numbered PNG series), entirely off the dispatch path."""
+
+    def __init__(self, out_dir: str, every: int = 20, map_3d: bool = True):
+        import os
+
+        self.out_dir = out_dir
+        self.every = max(1, every)
+        self.map_3d = map_3d
+        self.count = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def update(self, system, gray: Optional[np.ndarray] = None):
+        import os
+
+        i = self.count
+        self.count += 1
+        if i % self.every:
+            return None
+        outs = []
+        if gray is not None:
+            outs.append(draw_frame_from_system(
+                system, np.asarray(gray),
+                path=os.path.join(self.out_dir, f"frame_{i:06d}.png")))
+        if system.map is not None and system.map.n_kf:
+            loop_edges = (system.loop_closer.extra_edges
+                          if system.loop_closer is not None else None)
+            render = plot_map_3d if self.map_3d else plot_map
+            kw = dict(loop_edges=loop_edges) if self.map_3d else {}
+            outs.append(render(
+                system.map, trajectory=None,
+                path=os.path.join(self.out_dir, f"map_{i:06d}.png"), **kw))
+        return outs

@@ -74,3 +74,30 @@ class TestNativeLoader:
             np.testing.assert_array_equal(mask_n, mask_p)
             assert abs(t_n - t_p) < 1e-9
         nat.close()
+
+
+class TestKittiPublisher:
+    def test_replays_sequence_into_node(self, tmp_path):
+        """tools/kitti_publisher.py (the ROS2 kitti_odometry_publisher
+        analog) streams a sequence into the online node at full speed."""
+        import sys as _sys, os as _os
+        _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+        from tools.kitti_publisher import publish
+
+        seq_dir, imgs, clouds = make_fake_sequence(tmp_path, n_frames=4)
+
+        class SpyNode:
+            def __init__(self):
+                self.rgb, self.cloud = [], []
+
+            def feed_rgb(self, t, gray):
+                self.rgb.append((t, gray.shape))
+
+            def feed_cloud(self, t, cloud):
+                self.cloud.append((t, cloud.shape))
+
+        node = SpyNode()
+        n = publish(str(seq_dir), node, rate=0.0, log=lambda *a: None)
+        assert n == 4
+        assert len(node.rgb) == 4 and len(node.cloud) == 4
+        assert node.rgb[0][1] == (48, 64)
