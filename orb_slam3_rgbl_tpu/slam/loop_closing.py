@@ -339,15 +339,34 @@ class LoopCloser:
         old_nodes = nodes.copy()
         ei, ej, Sij, w = self._essential_edges(valid, slot, ev)
 
+        # pad nodes/edges to power-of-two tiers: every loop event would
+        # otherwise compile a fresh pose-graph program (SURVEY §7
+        # recompile-tier mitigation, same as ba_assembly)
+        from orb_slam3_rgbl_tpu.slam.ba_assembly import _tier
+
+        Kp = _tier(K, 64)
+        Ep = _tier(len(ei), 128)
+        nodes_p = np.tile(np.array([1, 0, 0, 0, 0, 0, 0, 1], np.float32), (Kp, 1))
+        nodes_p[:K] = nodes
+        E = len(ei)
+        ei_p = np.zeros(Ep, np.int32)
+        ej_p = np.zeros(Ep, np.int32)
+        ei_p[:E] = ei
+        ej_p[:E] = ej
+        Sij_p = np.tile(np.array([1, 0, 0, 0, 0, 0, 0, 1], np.float32), (Ep, 1))
+        Sij_p[:E] = np.stack(Sij)
+        w_p = np.zeros(Ep, np.float32)
+        w_p[:E] = w
+
         problem = pose_graph.PoseGraphProblem(
-            nodes=jnp.asarray(nodes.astype(np.float32)),
-            node_fixed=jnp.asarray(np.arange(K) == slot[ev.kf_matched]),
-            node_valid=jnp.ones(K, bool),
-            edge_i=jnp.asarray(np.array(ei, np.int32)),
-            edge_j=jnp.asarray(np.array(ej, np.int32)),
-            edge_Sij=jnp.asarray(np.stack(Sij).astype(np.float32)),
-            edge_weight=jnp.asarray(np.array(w, np.float32)),
-            edge_valid=jnp.ones(len(ei), bool),
+            nodes=jnp.asarray(nodes_p),
+            node_fixed=jnp.asarray(np.arange(Kp) == slot[ev.kf_matched]),
+            node_valid=jnp.asarray(np.arange(Kp) < K),
+            edge_i=jnp.asarray(ei_p),
+            edge_j=jnp.asarray(ej_p),
+            edge_Sij=jnp.asarray(Sij_p),
+            edge_weight=jnp.asarray(w_p),
+            edge_valid=jnp.asarray(np.arange(Ep) < E),
         )
         if run_pose_graph:
             # inertial maps with gravity observable use the 4-DoF variant
@@ -364,6 +383,7 @@ class LoopCloser:
         else:
             new_nodes = nodes
 
+        new_nodes = np.asarray(new_nodes)[:K]
         # landmark correction via reference keyframes: X ← S_ref_new⁻¹ · S_ref_old · X
         lm_ids = np.nonzero(m.lm_valid)[0]
         ref = m.lm_ref_kf[lm_ids]
