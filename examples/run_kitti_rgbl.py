@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--native-loader", action="store_true")
     ap.add_argument("--viz", default="", help="write a map plot to this path at the end")
+    ap.add_argument("--stats", default="", help="write per-stage timing stats (ExecMean-style)")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run mapping/loop closing on the worker plane")
     args = ap.parse_args()
 
     from orb_slam3_rgbl_tpu.config import load_config, RGBL
@@ -33,6 +36,8 @@ def main():
     cfg = load_config(args.settings, sensor=RGBL)
     slam = System(cfg)
     timer = StageTimer()
+    slam.timer = timer
+    slam.async_mapping = bool(args.async_mapping)
 
     if args.native_loader:
         from orb_slam3_rgbl_tpu.io.native_loader import NativeKittiSequence
@@ -64,8 +69,13 @@ def main():
     print(f"mean tracking time: {arr.mean():.4f}", file=sys.stderr)
     print(timer.report(), file=sys.stderr)
 
+    slam.shutdown()
     slam.save_trajectory_kitti(args.out)
     print(f"trajectory saved to {args.out}", file=sys.stderr)
+    if args.stats:
+        from orb_slam3_rgbl_tpu.utils.profiling import save_stats
+
+        save_stats(timer, args.stats)
     if args.viz:
         from orb_slam3_rgbl_tpu.viz.viewer import plot_map
 

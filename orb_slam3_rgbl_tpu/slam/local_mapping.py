@@ -39,23 +39,37 @@ class LocalMapper:
         self.inv_sigma2 = np.asarray(inv_scale_sigma2(config.orb.n_levels, config.orb.scale_factor))
         self.recent_lm: list = []   # (lm_ids, created_at_kf) for culling
         self.is_mono = config.sensor in (0, 3)  # MONOCULAR / IMU_MONOCULAR
+        self.timer = None           # StageTimer (REGISTER_TIMES LocalMapping
+        #   taxonomy: kf_insert/mp_cull/mp_create/lba/kf_cull)
+
+    def _stage(self, name):
+        import contextlib
+
+        return (self.timer.stage(name) if self.timer is not None
+                else contextlib.nullcontext())
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, run_ba: bool = True):
-        self.map.update_landmark_stats(np.array([kf_id]))
-        self._map_point_culling(kf_id)
-        self._triangulate_new_points(kf_id)
-        self._search_in_neighbors(kf_id)
+        with self._stage("kf_insert"):
+            self.map.update_landmark_stats(np.array([kf_id]))
+        with self._stage("mp_cull"):
+            self._map_point_culling(kf_id)
+        with self._stage("mp_create"):
+            self._triangulate_new_points(kf_id)
+        with self._stage("loop_fusion"):
+            self._search_in_neighbors(kf_id)
         min_kf_for_ba = 2 if self.is_mono else 3
         if run_ba and self.map.n_kf >= min_kf_for_ba:
             # after IMU initialization the mapping-plane BA is the
             # 15-DoF sliding-window LocalInertialBA (reference
             # LocalMapping.cc:149 vs :154 selects by sensor + init state)
-            if self.cfg.inertial and self.map.imu_initialized:
-                self.local_inertial_bundle_adjustment(kf_id)
-            else:
-                self.local_bundle_adjustment(kf_id)
-        self._keyframe_culling(kf_id)
+            with self._stage("lba"):
+                if self.cfg.inertial and self.map.imu_initialized:
+                    self.local_inertial_bundle_adjustment(kf_id)
+                else:
+                    self.local_bundle_adjustment(kf_id)
+        with self._stage("kf_cull"):
+            self._keyframe_culling(kf_id)
 
     # ------------------------------------------------------------------
     def _fuse_into(self, kf: int, lm_ids: np.ndarray, counts: np.ndarray,

@@ -274,6 +274,8 @@ class System:
         self.map = self.atlas.create_new_map()
         self.tracker = Tracker(self.cfg, self.map, start_frame_id=next_frame)
         self.mapper = LocalMapper(self.cfg, self.map) if self._enable_mapping else None
+        if self.mapper is not None:
+            self.mapper.timer = self.timer
         self.tracker.pre_kf_hook = self._join_mapping
         if self._fast is not None:
             self.tracker.fast = self._fast

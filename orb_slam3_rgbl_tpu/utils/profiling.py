@@ -72,3 +72,12 @@ class StageTimer:
 
 
 GLOBAL_TIMER = StageTimer()
+
+
+def save_stats(timer: StageTimer, path: str):
+    """Dump per-stage statistics to a text file — the analog of the
+    reference's ``f_track_stats`` / ``ExecMean.txt`` outputs
+    (``Tracking.h:347-353``, written by ``PrintTimeStats``)."""
+    with open(path, "w") as f:
+        f.write(timer.report() + "\n")
+    return path
