@@ -154,16 +154,20 @@ def _resolve_collisions(idx: jax.Array, dist: jax.Array, n_feat: int):
 
 
 def make_track_step(cfg: SlamConfig, window_cap: int = 8192,
-                    mm_th: float = 15.0, local_th: float = 4.0):
+                    mm_th: float = 15.0, local_th: float = 4.0,
+                    mode: str = "rgbl"):
     """Returns a jittable full tracking step.
 
-    fn(img, points, cloud_valid, Tcw_pred,
+    fn(img, depth_src, depth_valid, Tcw_pred,
        prev_uv, prev_desc, prev_oct, prev_angle, prev_Xw, prev_bound,
        win_pos, win_desc, win_maxdist, win_valid) -> TrackStepOut
 
-    ``points`` is a FIXED-capacity (Np, 4) array with ``cloud_valid``
-    masking real returns — varying per-frame LiDAR sizes must not force
-    recompiles (host pads/truncates to the capacity).
+    ``mode``:
+      * 'rgbl' — ``depth_src`` is a FIXED-capacity (Np, 4) LiDAR cloud
+        with ``depth_valid`` masking real returns (varying per-frame
+        sizes must not force recompiles; the host pads/truncates).
+      * 'rgbd' — ``depth_src`` is the (H, W) dense depth image
+        (``Frame::ComputeStereoFromRGBD``); ``depth_valid`` is ignored.
     """
     import numpy as np
     from orb_slam3_rgbl_tpu.ops import depth as depth_ops
@@ -196,22 +200,25 @@ def make_track_step(cfg: SlamConfig, window_cap: int = 8192,
         )
         return pose_opt.pose_optimize(Tcw0, obs, cam)
 
-    def fn(img, points, cloud_valid, Tcw_pred,
+    def fn(img, depth_src, depth_valid, Tcw_pred,
            prev_uv, prev_desc, prev_oct, prev_angle, prev_Xw, prev_bound,
            win_pos, win_desc, win_maxdist, win_valid):
         del prev_uv  # (kept in the signature for future pyramid reuse)
-        # ---- Frame ctor: extraction + LiDAR depth ----------------------
+        # ---- Frame ctor: extraction + depth ----------------------------
         feats = frame_mod.extract_features(
             img, H, W, n_features=cfg.orb.n_features, n_levels=n_levels,
             scale_factor=cfg.orb.scale_factor,
             ini_th=float(cfg.orb.ini_th_fast), min_th=float(cfg.orb.min_th_fast),
         )
-        feats, _ = frame_mod.attach_lidar_depth(
-            feats, points, P_lidar, H, W, cam.bf,
-            min_dist=lc.min_dist, max_dist=lc.max_dist, method=lc.method,
-            dil_kind=lc.dil_kernel_type, dil_ku=lc.dil_kernel_size_u,
-            dil_kv=lc.dil_kernel_size_v, valid_mask=cloud_valid,
-        )
+        if mode == "rgbd":
+            feats = frame_mod.attach_depth_map(feats, depth_src, cam.bf)
+        else:
+            feats, _ = frame_mod.attach_lidar_depth(
+                feats, depth_src, P_lidar, H, W, cam.bf,
+                min_dist=lc.min_dist, max_dist=lc.max_dist, method=lc.method,
+                dil_kind=lc.dil_kernel_type, dil_ku=lc.dil_kernel_size_u,
+                dil_kv=lc.dil_kernel_size_v, valid_mask=depth_valid,
+            )
         N = feats.uv.shape[0]
 
         # ---- TrackWithMotionModel --------------------------------------

@@ -33,11 +33,14 @@ LOCAL_KF_CAP = 80  # reference caps local keyframes at 80 (Tracking.cc:3543)
 class FastPath:
     """Owns the jitted step + device-resident inter-frame state."""
 
-    def __init__(self, cfg: SlamConfig, n_feat: int, window_cap: int = 8192):
+    def __init__(self, cfg: SlamConfig, n_feat: int, window_cap: int = 8192,
+                 mode: str = "rgbl"):
         self.cfg = cfg
         self.n_feat = n_feat
         self.window_cap = window_cap
-        self.step = jax.jit(compiled.make_track_step(cfg, window_cap=window_cap))
+        self.mode = mode
+        self.step = jax.jit(compiled.make_track_step(cfg, window_cap=window_cap,
+                                                     mode=mode))
         self._sync_key = None
         # host-side id maps for the device windows
         self.win_ids = np.zeros(0, np.int64)       # window slot → landmark id

@@ -193,7 +193,25 @@ class System:
                    imu: Optional[np.ndarray] = None) -> TrackResult:
         """RGB + dense depth image — ``System::TrackRGBD``. Depth samples
         at the raw (distorted) pixel; geometry uses undistorted
-        coordinates (reference Frame RGBD ctor semantics)."""
+        coordinates (reference Frame RGBD ctor semantics).
+
+        Steady-state frames run as ONE fused XLA dispatch, exactly like
+        ``track_rgbl`` (the depth source is the only difference)."""
+        if (self.use_fused and self._undistort_cam is None and imu is None
+                and self.cfg.sensor == RGBD):
+            from orb_slam3_rgbl_tpu.slam.fast_path import FastPath
+
+            n_feat = self._frame_capacity()
+            if self.map is None:
+                self._spawn_components(n_feat)
+            if self._fast is None:
+                self._fast = FastPath(self.cfg, n_feat, mode="rgbd")
+                self.tracker.fast = self._fast
+            res = self.tracker.track_image_rgbd(
+                jnp.asarray(gray, jnp.float32),
+                jnp.asarray(depth_img, jnp.float32), timestamp,
+                timer=self.timer)
+            return self._post_track(res)
         feats = self._extract(gray)
         feats = frame_mod.attach_depth_map(
             feats, jnp.asarray(depth_img, jnp.float32), self.cam.bf,

@@ -943,9 +943,18 @@ class Tracker:
     # ==================================================================
     # Fused fast path (single-dispatch engine hot loop)
     # ==================================================================
+    def track_image_rgbd(self, img, depth_img, timestamp: float,
+                         timer=None) -> TrackResult:
+        """One-dispatch tracking of an RGB-D frame (fused step in 'rgbd'
+        mode — dense depth sampled at the keypoints,
+        ``Frame::ComputeStereoFromRGBD``)."""
+        return self.track_image_rgbl(img, depth_img, None, timestamp,
+                                     timer=timer)
+
     def track_image_rgbl(self, img, points, cloud_valid, timestamp: float,
                          timer=None) -> TrackResult:
-        """One-dispatch tracking of an RGB-L frame via the fused step
+        """One-dispatch tracking of an RGB-L (or RGB-D — see
+        ``track_image_rgbd``) frame via the fused step
         (``compiled.make_track_step``). Falls back to the classic
         per-stage path on initialization, tracking failure, or any state
         where the reference would leave the TrackWithMotionModel →
@@ -995,6 +1004,8 @@ class Tracker:
             n_levels=cfg.orb.n_levels, scale_factor=cfg.orb.scale_factor,
             ini_th=float(cfg.orb.ini_th_fast), min_th=float(cfg.orb.min_th_fast),
         )
+        if self.fast is not None and self.fast.mode == "rgbd":
+            return frame_mod.attach_depth_map(feats, points, cam.bf)
         K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float32)
         P = jnp.asarray(depth_ops.lidar_projection_matrix(K, np.asarray(lc.T_velo_cam)))
         feats, _ = frame_mod.attach_lidar_depth(

@@ -247,3 +247,20 @@ def synthetic_rgbl_config(width: int = 320, height: int = 192,
         max_map_points=65536,
         loop_closing=loop_closing,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def render_depth(world: World, Twc: jax.Array, fx: float, fy: float,
+                 cx: float, cy: float, height: int, width: int) -> jax.Array:
+    """(H, W) z-depth image from camera pose Twc — the RGB-D sensor
+    analog (ray direction z-component is 1, so depth == ray parameter)."""
+    ys = jnp.arange(height, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(width, dtype=jnp.float32) + 0.5
+    u, v = jnp.meshgrid(xs, ys)
+    d_cam = jnp.stack([(u - cx) / fx, (v - cy) / fy, jnp.ones_like(u)], axis=-1)
+    R = lie.quat_to_matrix(Twc[:4])
+    c = Twc[4:7]
+    d_w = jnp.einsum("ij,hwj->hwi", R, d_cam)
+    o = jnp.broadcast_to(c, d_w.shape)
+    t, plane, hit = _cast(world, o, d_w)
+    return jnp.where(hit, t, 0.0)

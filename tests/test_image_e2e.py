@@ -95,3 +95,31 @@ class TestAsyncMapping:
                              jnp.asarray(traj[:, 4:7] - traj[0, 4:7])))
         assert err < 0.2, err
         assert sysm.map.n_kf >= 2
+
+
+class TestRgbdFusedPath:
+    def test_rgbd_odometry_from_images(self, world):
+        """The fused single-dispatch path in RGB-D mode: rendered gray +
+        rendered dense depth → tracked trajectory (TrackRGBD parity with
+        the same engine loop as RGB-L)."""
+        import dataclasses
+        from orb_slam3_rgbl_tpu.config import RGBD
+
+        cfg = dataclasses.replace(syn.synthetic_rgbl_config(), sensor=RGBD)
+        cam = cfg.camera
+        traj = syn.straight_trajectory(25, step=0.6, weave=0.4)
+        sysm = System(cfg)
+        states = []
+        for i, Twc in enumerate(traj):
+            T = jnp.asarray(Twc)
+            img = syn.render_image(world, T, cam.fx, cam.fy, cam.cx, cam.cy,
+                                   cam.height, cam.width)
+            dep = syn.render_depth(world, T, cam.fx, cam.fy, cam.cx, cam.cy,
+                                   cam.height, cam.width)
+            states.append(sysm.track_rgbd(img, dep, i * 0.1).state)
+        assert all(s == trk.OK for s in states), states
+        est = sysm.trajectory()
+        err = float(ate_rmse(jnp.asarray(est[:, 4:7]),
+                             jnp.asarray(traj[:, 4:7] - traj[0, 4:7])))
+        assert err < 0.15, err
+        assert sysm._fast is not None and sysm._fast.mode == "rgbd"
