@@ -180,10 +180,108 @@ class LoopCloser:
         )
         if int(n) < 25:
             return None
-        # landmark fusion pairs: current landmark → matched (older) landmark
         inl_np = np.asarray(inl)
+
+        # SearchBySim3 escalation (reference ORBmatcher::SearchBySim3 →
+        # second OptimizeSim3, LoopClosing.cc:700-780 ladder): project the
+        # candidate neighborhood's landmarks into the current keyframe
+        # through the estimated Sim3 to grow the correspondence set, then
+        # refine once more with everything
+        S12_np = np.asarray(S12, np.float32)
+        ext = self._guided_sim3_matches(kf_id, cand, S12_np,
+                                        exclude_f1=f1[inl_np])
+        if ext is not None:
+            g_f1, g_f2, g_lm1, g_lm2 = ext
+            a_f1 = np.concatenate([f1[inl_np], g_f1])
+            a_f2 = np.concatenate([f2[inl_np], g_f2])
+            a_lm1 = np.concatenate([lm1[inl_np], g_lm1])
+            a_lm2 = np.concatenate([lm2[inl_np], g_lm2])
+            P2 = len(a_f1)
+            p1c = np.asarray(lie.se3_apply(T1, jnp.asarray(m.lm_pos[a_lm1])))
+            p2c = np.asarray(lie.se3_apply(T2, jnp.asarray(m.lm_pos[a_lm2])))
+            w1 = (1.2 ** (2 * m.kf_octave[kf_id, a_f1])).astype(np.float32)
+            w2 = (1.2 ** (2 * m.kf_octave[cand, a_f2])).astype(np.float32)
+            S12b, inl2, n2 = sim3_opt.optimize_sim3(
+                jnp.asarray(S12_np), jnp.asarray(p1c), jnp.asarray(p2c),
+                jnp.asarray(m.kf_uv[kf_id, a_f1]), jnp.asarray(m.kf_uv[cand, a_f2]),
+                jnp.asarray(1.0 / w1), jnp.asarray(1.0 / w2),
+                jnp.ones(P2, bool), self.cam, fix_scale=self.fix_scale,
+            )
+            if int(n2) >= int(n):
+                inl2_np = np.asarray(inl2)
+                self._pending_fusion = (a_lm1[inl2_np], a_lm2[inl2_np])
+                return LoopEvent(kf_cur=kf_id, kf_matched=cand,
+                                 n_inliers=int(n2), S12=np.asarray(S12b))
+
+        # landmark fusion pairs: current landmark → matched (older) landmark
         self._pending_fusion = (lm1[inl_np], lm2[inl_np])
-        return LoopEvent(kf_cur=kf_id, kf_matched=cand, n_inliers=int(n), S12=np.asarray(S12))
+        return LoopEvent(kf_cur=kf_id, kf_matched=cand, n_inliers=int(n), S12=S12_np)
+
+    def _guided_sim3_matches(self, kf_id: int, cand: int, S12: np.ndarray,
+                             exclude_f1: np.ndarray, radius: float = 7.5):
+        """Sim3-guided projection matching: candidate-side landmarks
+        (2-hop neighborhood) projected into the current keyframe through
+        ``S12 · T2w``; windowed descriptor match against features not yet
+        in the correspondence set."""
+        m = self.map
+        loop_kfs = [cand] + [int(k) for k in m.best_covisible(cand, 10, min_weight=1)]
+        tbl = m.kf_lm_idx[np.asarray(loop_kfs)]
+        lms = np.unique(tbl[tbl >= 0])
+        lms = lms[m.lm_valid[lms]]
+        if lms.size == 0:
+            return None
+        cap = m.n_features
+        lms = lms[:cap]
+        n = lms.size
+        P = np.zeros((cap, 3), np.float32)
+        Pdesc = np.zeros((cap, 8), np.uint32)
+        Pvalid = np.zeros(cap, bool)
+        P[:n] = m.lm_pos[lms]
+        Pdesc[:n] = m.lm_desc[lms]
+        Pvalid[:n] = True
+        # project through the loop Sim3: x1 = S12 · T2w · X
+        S_1w = lie.sim3_mul(jnp.asarray(S12),
+                            lie.sim3_from_se3(jnp.asarray(m.kf_pose[cand])))
+        pc = np.asarray(lie.sim3_apply(S_1w, jnp.asarray(P)))
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = self.cam.fx * pc[:, 0] / z + self.cam.cx
+            v = self.cam.fy * pc[:, 1] / z + self.cam.cy
+        ok = Pvalid & (z > 0.1)
+        ok &= np.nan_to_num((u >= 0) & (u < self.cam.width)
+                            & (v >= 0) & (v < self.cam.height), nan=False)
+        kp_valid = (m.kf_lm_idx[kf_id] >= 0) & m.kf_feat_valid[kf_id]
+        kp_valid[exclude_f1] = False
+        idx, dist = matching.windowed_projection_match(
+            jnp.asarray(np.stack([np.nan_to_num(u), np.nan_to_num(v)], 1).astype(np.float32)),
+            jnp.asarray(ok), jnp.asarray(Pdesc), jnp.zeros(cap, jnp.int32),
+            jnp.asarray(m.kf_uv[kf_id]), jnp.asarray(kp_valid),
+            jnp.asarray(m.kf_desc[kf_id]), jnp.zeros(m.n_features, jnp.int32),
+            jnp.asarray(np.full(cap, radius, np.float32)), th=matching.TH_HIGH,
+        )
+        idx = np.asarray(idx)
+        dist = np.asarray(dist)
+        hit = np.nonzero(idx >= 0)[0]
+        if hit.size == 0:
+            return None
+        order = hit[np.argsort(dist[hit], kind="stable")]
+        feats_of = idx[order]
+        first = np.unique(feats_of, return_index=True)[1]
+        win_p, win_f = order[first], feats_of[first]
+        g_lm2 = lms[win_p]
+        g_f1 = win_f
+        g_lm1 = m.kf_lm_idx[kf_id, g_f1]
+        sel = (g_lm1 >= 0) & (g_lm1 != g_lm2)
+        if not sel.any():
+            return None
+        g_f1, g_lm1, g_lm2 = g_f1[sel], g_lm1[sel], g_lm2[sel]
+        # feature index of lm2 in the candidate keyframe (for uv/octave)
+        pos_in_cand = np.full(m.capacity_lm, -1, np.int32)
+        row = m.kf_lm_idx[cand]
+        pos_in_cand[row[row >= 0]] = np.nonzero(row >= 0)[0]
+        g_f2 = pos_in_cand[g_lm2]
+        sel2 = g_f2 >= 0
+        return g_f1[sel2], g_f2[sel2], g_lm1[sel2], g_lm2[sel2]
 
     # ------------------------------------------------------------------
     def _search_and_fuse(self, ev: LoopEvent):
