@@ -406,6 +406,57 @@ class MapState:
         self.lm_min_dist[lm_set] = self.lm_max_dist[lm_set] / (1.2 ** 7)
 
 
+def debug_reprojection_error(m: MapState, cam) -> dict:
+    """Whole-map reprojection-error statistics (reference
+    ``Map::printReprojectionError`` debug utility, ``Map.h:88-97``):
+    projects every binding through its keyframe pose and reports the
+    pixel-error distribution — the cheapest global map-consistency probe."""
+    valid = m.valid_kf_ids()
+    errs = []
+    for k in valid:
+        ids = m.kf_lm_idx[k]
+        sel = np.nonzero(ids >= 0)[0]
+        if sel.size == 0:
+            continue
+        T = np.asarray(m.kf_pose[k], np.float32)
+        pc = lie.np_quat_rotate(T[:4], m.lm_pos[ids[sel]]) + T[4:7]
+        z = np.maximum(pc[:, 2], 1e-6)
+        u = cam.fx * pc[:, 0] / z + cam.cx
+        v = cam.fy * pc[:, 1] / z + cam.cy
+        e = np.hypot(u - m.kf_uv[k, sel, 0], v - m.kf_uv[k, sel, 1])
+        errs.append(e[pc[:, 2] > 0])
+    if not errs:
+        return {"n": 0}
+    e = np.concatenate(errs)
+    return {"n": int(e.size), "mean_px": float(e.mean()),
+            "median_px": float(np.median(e)), "p95_px": float(np.percentile(e, 95))}
+
+
+def check_binding_consistency(m: MapState) -> list:
+    """Structural invariants of the binding table (the array-design
+    analog of ``Map::CheckEssentialGraph``): every bound landmark is
+    valid, every valid landmark has ≥1 observation in a valid keyframe,
+    and no keyframe binds the same landmark twice. Returns a list of
+    violation strings (empty = consistent)."""
+    issues = []
+    valid = m.valid_kf_ids()
+    tbl = m.kf_lm_idx[valid]
+    bound = tbl[tbl >= 0]
+    if bound.size and not m.lm_valid[bound].all():
+        n = int((~m.lm_valid[bound]).sum())
+        issues.append(f"{n} bindings to invalid landmarks")
+    counts = m.observation_counts()
+    orphans = int((m.lm_valid & (counts == 0)).sum())
+    if orphans:
+        issues.append(f"{orphans} valid landmarks with zero observations")
+    for i, k in enumerate(valid):
+        row = tbl[i]
+        row = row[row >= 0]
+        if row.size != np.unique(row).size:
+            issues.append(f"keyframe {int(k)} binds a landmark twice")
+    return issues
+
+
 def apply_scaled_rotation(m: MapState, S_new_old: np.ndarray,
                           vel_metric_preserved: bool = False):
     """Re-express the whole map in a new world frame

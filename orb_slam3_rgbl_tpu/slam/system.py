@@ -515,10 +515,15 @@ class System:
         self.atlas.entries.remove(active_entry)
         self.atlas.active_idx = self.atlas.entries.index(entry_old)
 
-        # --- weld-window bundle adjustment (LoopClosing.cc:1623-1627) ----
+        # --- weld-window bundle adjustment (LoopClosing.cc:1623-1627;
+        # inertial maps use MergeInertialBA, Optimizer.cc:4875 — here the
+        # same 15-DoF sliding-window solve as LocalInertialBA) ----------
         if self.mapper is not None:
             res.map.update_landmark_stats(np.array([res.kf_cur_new]))
-            self.mapper.local_bundle_adjustment(res.kf_cur_new)
+            if self.cfg.inertial and res.map.imu_initialized:
+                self.mapper.full_inertial_ba(res.kf_cur_new)
+            else:
+                self.mapper.local_bundle_adjustment(res.kf_cur_new)
         log("MERGE: welded map %d into map %d (%d KFs transported, scale %.4f)"
             % (active_map_id, old.map_id, len(res.appended_kfs), s))
 

@@ -81,3 +81,35 @@ class TestCapacityChurn:
         assert (m.kf_lm_idx[0, :5] == -1).all()
         assert (m.kf_lm_idx[0, 5:10] == ids[5:]).all()
         assert len(m.lm_free) == 5
+
+
+class TestDebugCheckers:
+    def test_consistency_and_reprojection_probes(self, rng):
+        """Map debug utilities (reference Map::printReprojectionError /
+        CheckEssentialGraph analogs) on a consistent little map."""
+        from orb_slam3_rgbl_tpu.config import kitti_rgbl_config
+        from orb_slam3_rgbl_tpu.slam import map_state as ms
+
+        cam = kitti_rgbl_config().camera
+        m = _mk(max_lm=128, n_feat=64)
+        X = np.stack([rng.uniform(-10, 10, 30), rng.uniform(-3, 3, 30),
+                      rng.uniform(10, 40, 30)], 1).astype(np.float32)
+        z = X[:, 2]
+        uv = np.stack([cam.fx * X[:, 0] / z + cam.cx,
+                       cam.fy * X[:, 1] / z + cam.cy], 1).astype(np.float32)
+        feat_uv = np.zeros((64, 2), np.float32)
+        feat_uv[:30] = uv
+        m.add_keyframe(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), feat_uv,
+                       np.zeros(64, np.int16), np.zeros((64, 8), np.uint32),
+                       np.full(64, -1.0, np.float32), np.full(64, -1.0, np.float32),
+                       np.ones(64, bool), np.full(64, -1, np.int32), 0.0, 0)
+        d = np.ones(30, np.float32)
+        m.add_landmarks(X, np.zeros((30, 8), np.uint32), 0, np.arange(30),
+                        np.tile(np.array([0, 0, 1], np.float32), (30, 1)),
+                        d * 50, d)
+        assert ms.check_binding_consistency(m) == []
+        stats = ms.debug_reprojection_error(m, cam)
+        assert stats["n"] == 30 and stats["mean_px"] < 1e-3
+        # corrupt a binding → the checker flags it
+        m.lm_valid[m.kf_lm_idx[0, 0]] = False
+        assert any("invalid landmarks" in s for s in ms.check_binding_consistency(m))
