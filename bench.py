@@ -86,21 +86,56 @@ def kernel_fps():
     return round(fps, 2)
 
 
-def main():
-    from bench_engine import run_engine_bench
+def _engine_bench_subprocess(n: int, timeout_s: int):
+    """Run the engine bench in a subprocess with a watchdog: the
+    measurement tunnel's remote-compile relay occasionally wedges, and a
+    wedged in-process device call can never be interrupted. On timeout
+    the kernel metric still gets reported."""
+    import subprocess
 
+    try:
+        out = subprocess.run(
+            [sys.executable, "-u", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "bench_engine.py"), str(n)],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        sys.stderr.write(out.stderr[-4000:])
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                d = json.loads(line)
+                if d.get("metric") == "rgbl_engine_fps":
+                    return d
+            except json.JSONDecodeError:
+                continue
+    except subprocess.TimeoutExpired:
+        print("engine bench timed out (tunnel wedge?) — falling back to "
+              "the kernel metric", file=sys.stderr)
+    return None
+
+
+def main():
     n = int(os.environ.get("BENCH_ENGINE_FRAMES", "110"))
-    eng = run_engine_bench(n_frames=n)
+    wd = int(os.environ.get("BENCH_ENGINE_TIMEOUT_S", "1500"))
+    eng = _engine_bench_subprocess(n, wd)
     kfps = kernel_fps()
-    print(json.dumps({
-        "metric": "rgbl_engine_fps",
-        "value": eng["engine_fps"],
-        "unit": "frames/s/chip",
-        "vs_baseline": round(eng["engine_fps"] / 10.0, 3),
-        "median_frame_ms": eng["median_frame_ms"],
-        "ate_m": eng["ate_m"],
-        "kernel_frame_step_fps": kfps,
-    }))
+    if eng is not None:
+        print(json.dumps({
+            "metric": "rgbl_engine_fps",
+            "value": eng["value"],
+            "unit": "frames/s/chip",
+            "vs_baseline": round(eng["value"] / 10.0, 3),
+            "median_frame_ms": eng.get("median_frame_ms"),
+            "ate_m": eng.get("ate_m"),
+            "kernel_frame_step_fps": kfps,
+        }))
+    else:
+        print(json.dumps({
+            "metric": "rgbl_frame_step_fps",
+            "value": kfps,
+            "unit": "frames/s/chip",
+            "vs_baseline": round(kfps / 10.0, 3),
+            "note": "engine bench unavailable this run (tunnel wedge); kernel metric only",
+        }))
 
 
 if __name__ == "__main__":
