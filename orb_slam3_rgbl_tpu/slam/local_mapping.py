@@ -13,6 +13,8 @@ deployments it runs as an async dispatch on a second computation stream
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import numpy as np
@@ -29,6 +31,93 @@ from orb_slam3_rgbl_tpu.slam.map_state import MapState
 BA_POSES_CAP = 24       # optimized + fixed window sizes (static shapes)
 BA_LM_CAP = 8192
 BA_OBS_CAP = 8          # D — max obs per landmark inside the window
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
+def _fuse_project_batch(cam, scale_factor, n_levels, poses, uvs, descs, octs,
+                        fvalids, tvalid, P, Pdesc, Pmaxd, Pvalid):
+    """``ORBmatcher::Fuse`` projection half for up to T target keyframes
+    in one XLA program: project the landmark set into every target and
+    windowed-match (radius 3·scale at the predicted octave, TH_LOW).
+
+    Returns (idx (T, cap) matched feature per landmark slot or −1,
+    dist (T, cap))."""
+
+    def one(Tcw, uv, desc, octv, fvalid, valid):
+        pc = lie.se3_apply(Tcw[None, :], P)
+        z = pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        ok = Pvalid & valid & (z > 0.1)
+        ok &= (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        center = lie.se3_trans(lie.se3_inv(Tcw))
+        dist_w = jnp.linalg.norm(P - center[None, :], axis=-1)
+        ratio = Pmaxd / jnp.maximum(dist_w, 1e-6)
+        po = jnp.clip(jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-6))
+                               / jnp.log(scale_factor)), 0, n_levels - 1
+                      ).astype(jnp.int32)
+        radius = 3.0 * scale_factor ** po.astype(jnp.float32)
+        proj_uv = jnp.stack([u, v], axis=1)
+        return matching.windowed_projection_match(
+            proj_uv, ok, Pdesc, po, uv, fvalid, desc, octv.astype(jnp.int32),
+            radius, th=matching.TH_LOW)
+
+    return jax.vmap(one)(poses, uvs, descs, octs, fvalids, tvalid)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor"))
+def _triangulate_batch(cam, scale_factor, T1, uv1, desc1, ang1, oct1, unbound1,
+                       T2s, uv2s, desc2s, ang2s, oct2s, unbound2s, pair_valid):
+    """All CreateNewMapPoints pair-math for up to NB neighbors in one XLA
+    program: per-neighbor epipolar-gated mutual matching + DLT
+    triangulation + parallax/cheirality/reprojection gates.
+
+    Returns (idx (NB, N) best neighbor feature per current feature or −1,
+    ok (NB, N) acceptance, X (NB, N, 3) triangulated points)."""
+    K = cam.K
+    N = uv1.shape[0]
+
+    def dirs(uv):
+        x = (uv[..., 0] - cam.cx) / cam.fx
+        y = (uv[..., 1] - cam.cy) / cam.fy
+        return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+
+    def reproj_ok(X, Tcw, uv, octv):
+        pc = lie.se3_apply(Tcw[None, :], X)
+        z = pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        u = cam.fx * pc[:, 0] / zs + cam.cx
+        v = cam.fy * pc[:, 1] / zs + cam.cy
+        err2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+        sigma2 = scale_factor ** (2.0 * octv.astype(jnp.float32))
+        return (z > 0.1) & (err2 < 5.991 * sigma2)
+
+    def one(T2, uv2, desc2, ang2, oct2, unbound2, valid):
+        d = matching.distance_table(desc1, desc2, unbound1, unbound2 & valid)
+        F12 = triangulation.fundamental_from_poses(K, K, T1, T2)
+        ep = triangulation.epipolar_distance_sq(
+            F12, uv1[:, None, :], uv2[None, :, :])
+        sigma2 = scale_factor ** (2.0 * oct2.astype(jnp.float32))
+        d = jnp.where(ep < 3.84 * sigma2[None, :], d, 256.0)
+        idx, _ = matching.mutual_best_match(
+            d, ang1, ang2, th=matching.TH_LOW, ratio=0.8, check_rotation=True)
+        matched = idx >= 0
+        f2 = jnp.where(matched, idx, 0)
+        xn1 = dirs(uv1)
+        xn2 = dirs(uv2[f2])
+        T1b = jnp.broadcast_to(T1, (N, 7))
+        T2b = jnp.broadcast_to(T2, (N, 7))
+        cosp = triangulation.parallax_cos(xn1, xn2, T1b, T2b)
+        X = triangulation.triangulate_dlt(xn1, xn2, T1b, T2b)
+        ok = matched & (cosp > 0) & (cosp < 0.9998)
+        ok &= jnp.isfinite(X).all(axis=1)
+        Xs = jnp.nan_to_num(X)
+        ok &= reproj_ok(Xs, T1, uv1, oct1)
+        ok &= reproj_ok(Xs, T2, uv2[f2], oct2[f2])
+        return idx, ok & valid, Xs
+
+    return jax.vmap(one)(T2s, uv2s, desc2s, ang2s, oct2s, unbound2s, pair_valid)
 
 
 class LocalMapper:
@@ -119,9 +208,17 @@ class LocalMapper:
             jnp.asarray(m.kf_octave[kf].astype(np.int32)), jnp.asarray(radius),
             th=matching.TH_LOW,
         )
-        idx = np.asarray(idx)
-        d = np.asarray(d)
+        return self._apply_fuse_matches(kf, lm_ids, counts, remap,
+                                        np.asarray(idx), np.asarray(d))
+
+    def _apply_fuse_matches(self, kf: int, lm_ids: np.ndarray,
+                            counts: np.ndarray, remap: np.ndarray,
+                            idx: np.ndarray, d: np.ndarray) -> int:
+        """Host half of Fuse: bind unbound features / Replace duplicates
+        from a (cap,) projection-match result."""
+        m = self.map
         hit = np.nonzero(idx >= 0)[0]
+        hit = hit[hit < lm_ids.size]
         if hit.size == 0:
             return 0
         # feature-wise collision resolution: closest projection wins
@@ -184,9 +281,43 @@ class LocalMapper:
         own = m.kf_lm_idx[kf_id]
         own = np.unique(own[own >= 0])
         n_ops = 0
-        # forward: this KF's landmarks into every neighbor
-        for k2 in targets:
-            n_ops += self._fuse_into(k2, own, counts, remap, cap)
+        # forward: this KF's landmarks into every neighbor — ALL targets
+        # in ONE dispatch + one download (the per-target loop was
+        # round-trip-bound on the TPU tunnel)
+        TB = 16
+        tg = np.asarray(targets[:TB], np.int64)
+        if own.size and tg.size:
+            own_c = own[:cap]
+            n = own_c.size
+            P = np.zeros((cap, 3), np.float32)
+            Pdesc = np.zeros((cap, 8), np.uint32)
+            Pmaxd = np.ones(cap, np.float32)
+            Pvalid = np.zeros(cap, bool)
+            P[:n] = m.lm_pos[own_c]
+            Pdesc[:n] = m.lm_desc[own_c]
+            Pmaxd[:n] = m.lm_max_dist[own_c]
+            Pvalid[:n] = True
+
+            def padt(a, fill=0):
+                out = np.full((TB,) + a.shape[1:], fill, a.dtype)
+                out[: len(tg)] = a
+                return out
+
+            tvalid = np.zeros(TB, bool)
+            tvalid[: len(tg)] = True
+            idx_b, dist_b = jax.device_get(_fuse_project_batch(
+                self.cam, float(self.cfg.orb.scale_factor),
+                self.cfg.orb.n_levels,
+                jnp.asarray(padt(m.kf_pose[tg])), jnp.asarray(padt(m.kf_uv[tg])),
+                jnp.asarray(padt(m.kf_desc[tg])),
+                jnp.asarray(padt(m.kf_octave[tg].astype(np.int32))),
+                jnp.asarray(padt(m.kf_feat_valid[tg])), jnp.asarray(tvalid),
+                jnp.asarray(P), jnp.asarray(Pdesc), jnp.asarray(Pmaxd),
+                jnp.asarray(Pvalid),
+            ))
+            for a, k2 in enumerate(tg):
+                n_ops += self._apply_fuse_matches(
+                    int(k2), own_c, counts, remap, idx_b[a], dist_b[a])
         # backward: the neighborhood's landmarks into this KF
         back = m.kf_lm_idx[np.asarray(targets)]
         back = np.unique(back[back >= 0])
@@ -263,103 +394,102 @@ class LocalMapper:
         epipolar-gated matching of unbound features against the best
         covisible keyframes, DLT triangulation, parallax/reprojection/
         positive-depth checks. Depth sensors already provide close points,
-        so this adds the *far* structure that stabilizes rotation."""
+        so this adds the *far* structure that stabilizes rotation.
+
+        ALL neighbors process in ONE device dispatch (`vmap` over the
+        neighbor axis) with a single bulk download — the per-neighbor
+        loop was round-trip-bound on the TPU tunnel (~0.25 s × 10
+        neighbors per keyframe)."""
         if n_neighbors <= 0:
             # mono relies on wide-baseline pairs: nn=30 (LocalMapping.cc:391-394)
             n_neighbors = 30 if self.is_mono else 10
         neighbors = self.map.best_covisible(kf_id, n_neighbors, min_weight=1)
         if neighbors.size == 0:
             return
-        K1 = jnp.asarray(self.cam.K)
-        T1 = jnp.asarray(self.map.kf_pose[kf_id])
-        uv1 = self.map.kf_uv[kf_id]
-        unbound1 = (self.map.kf_lm_idx[kf_id] < 0) & self.map.kf_feat_valid[kf_id]
-        desc1 = jnp.asarray(self.map.kf_desc[kf_id])
+        m = self.map
+        uv1 = m.kf_uv[kf_id]
+        unbound1 = (m.kf_lm_idx[kf_id] < 0) & m.kf_feat_valid[kf_id]
         # mono maps have arbitrary scale: gate the baseline against the
         # median scene depth instead of meters (reference
         # LocalMapping.cc:434-446: ratioBaselineDepth > 0.01)
         if self.is_mono:
-            lm_here = self.map.kf_lm_idx[kf_id]
+            lm_here = m.kf_lm_idx[kf_id]
             lm_here = lm_here[lm_here >= 0]
             if lm_here.size == 0:
                 return
-            center1 = lie.np_se3_centers(self.map.kf_pose[kf_id])
+            center1 = lie.np_se3_centers(m.kf_pose[kf_id])
             med_depth = float(np.median(
-                np.linalg.norm(self.map.lm_pos[lm_here] - center1[None, :], axis=-1)
+                np.linalg.norm(m.lm_pos[lm_here] - center1[None, :], axis=-1)
             ))
             min_baseline = 0.01 * med_depth
         else:
             min_baseline = 0.08
+        if unbound1.sum() < 10:
+            return
+
+        # pack the neighbor batch (fixed NB slots, invalid ones masked)
+        NB = 32 if self.is_mono else 12
+        nb = neighbors[:NB]
+        c1 = lie.np_se3_centers(m.kf_pose[kf_id])
+        baselines = np.linalg.norm(
+            lie.np_se3_centers(m.kf_pose[nb]) - c1[None, :], axis=-1)
+        unbound2 = (m.kf_lm_idx[nb] < 0) & m.kf_feat_valid[nb]
+        pv = (baselines >= min_baseline) & (unbound2.sum(1) >= 10)
+        N = m.n_features
+
+        def padnb(a, fill=0):
+            out = np.full((NB,) + a.shape[1:], fill, a.dtype)
+            out[: len(nb)] = a
+            return out
+
+        pair_valid = np.zeros(NB, bool)
+        pair_valid[: len(nb)] = pv
+        if not pair_valid.any():
+            return
+        out = _triangulate_batch(
+            self.cam, float(self.cfg.orb.scale_factor),
+            jnp.asarray(m.kf_pose[kf_id]), jnp.asarray(uv1),
+            jnp.asarray(m.kf_desc[kf_id]), jnp.asarray(m.kf_angle[kf_id]),
+            jnp.asarray(m.kf_octave[kf_id].astype(np.int32)),
+            jnp.asarray(unbound1),
+            jnp.asarray(padnb(m.kf_pose[nb])), jnp.asarray(padnb(m.kf_uv[nb])),
+            jnp.asarray(padnb(m.kf_desc[nb])), jnp.asarray(padnb(m.kf_angle[nb])),
+            jnp.asarray(padnb(m.kf_octave[nb].astype(np.int32))),
+            jnp.asarray(padnb(unbound2)),
+            jnp.asarray(pair_valid),
+        )
+        idx_b, ok_b, X_b = jax.device_get(out)
+
         created_all = []
-        for k2 in neighbors:
-            T2 = jnp.asarray(self.map.kf_pose[k2])
-            # baseline check: skip if baseline too small vs median depth
-            baseline = float(np.linalg.norm(
-                lie.np_se3_centers(self.map.kf_pose[kf_id])
-                - lie.np_se3_centers(self.map.kf_pose[k2])))
-            if baseline < min_baseline:
+        claimed1 = ~unbound1
+        for a in range(len(nb)):
+            if not pair_valid[a]:
                 continue
-            unbound2 = (self.map.kf_lm_idx[k2] < 0) & self.map.kf_feat_valid[k2]
-            if unbound1.sum() < 10 or unbound2.sum() < 10:
-                continue
-            d = matching.distance_table(
-                desc1, jnp.asarray(self.map.kf_desc[k2]),
-                jnp.asarray(unbound1), jnp.asarray(unbound2),
-            )
-            # epipolar gate
-            F12 = triangulation.fundamental_from_poses(K1, K1, T1, T2)
-            uv2 = self.map.kf_uv[k2]
-            ep_d2 = triangulation.epipolar_distance_sq(
-                F12, jnp.asarray(uv1)[:, None, :], jnp.asarray(uv2)[None, :, :]
-            )
-            sigma2 = 1.2 ** (2 * self.map.kf_octave[k2].astype(np.float32))
-            gate = np.asarray(ep_d2) < 3.84 * sigma2[None, :]
-            d = jnp.where(jnp.asarray(gate), d, 256.0)
-            idx, dist = matching.mutual_best_match(
-                d, jnp.asarray(self.map.kf_angle[kf_id]),
-                jnp.asarray(self.map.kf_angle[k2]),
-                th=matching.TH_LOW, ratio=0.8, check_rotation=True)
-            idx = np.asarray(idx)
-            matched = idx >= 0
-            if not matched.any():
-                continue
-            # FIXED-shape triangulation over all N feature slots (masked) —
-            # variable-length gathers would recompile the DLT kernel on
-            # every keyframe (shape churn is the #1 TPU-latency killer in
-            # the mapping plane)
-            f2safe = np.where(matched, idx, 0)
-            xn1 = self._unproject_dirs(uv1)
-            xn2 = self._unproject_dirs(uv2[f2safe])
-            N = uv1.shape[0]
-            T1b = jnp.broadcast_to(T1, (N, 7))
-            T2b = jnp.broadcast_to(T2, (N, 7))
-            cosp, X = jax.device_get(
-                (triangulation.parallax_cos(xn1, xn2, T1b, T2b),
-                 triangulation.triangulate_dlt(xn1, xn2, T1b, T2b)))
-            cosp = np.asarray(cosp)
-            X = np.asarray(X)
-            ok = matched & (cosp > 0) & (cosp < 0.9998) & np.isfinite(X).all(axis=1)
-            ok &= self._reproj_ok(X, self.map.kf_pose[kf_id], uv1,
-                                  self.map.kf_octave[kf_id])
-            ok &= self._reproj_ok(X, self.map.kf_pose[k2], uv2[f2safe],
-                                  self.map.kf_octave[k2][f2safe])
+            ok = ok_b[a] & ~claimed1
             sel = np.nonzero(ok)[0]
             if sel.size == 0:
                 continue
-            f1s, f2s = sel, idx[sel]
-            center = lie.np_se3_centers(self.map.kf_pose[kf_id])
-            vecs = X[sel] - center[None, :]
+            k2 = int(nb[a])
+            f1s = sel
+            f2s = idx_b[a][sel]
+            # drop features on the neighbor side already bound/claimed
+            good2 = m.kf_lm_idx[k2, f2s] < 0
+            f1s, f2s = f1s[good2], f2s[good2]
+            if f1s.size == 0:
+                continue
+            X = X_b[a][f1s]
+            claimed1[f1s] = True
+            vecs = X - c1[None, :]
             dd = np.linalg.norm(vecs, axis=-1)
             normals = vecs / np.maximum(dd[:, None], 1e-9)
-            octv = self.map.kf_octave[kf_id][f1s]
+            octv = m.kf_octave[kf_id][f1s]
             sf = self.cfg.orb.scale_factor ** octv.astype(np.float32)
-            ids = self.map.add_landmarks(
-                X[sel].astype(np.float32), self.map.kf_desc[kf_id][f1s], kf_id, f1s,
+            ids = m.add_landmarks(
+                X.astype(np.float32), m.kf_desc[kf_id][f1s], kf_id, f1s,
                 normals.astype(np.float32), (dd * sf).astype(np.float32),
                 (dd * sf / self.cfg.orb.scale_factor ** (self.cfg.orb.n_levels - 1)).astype(np.float32),
             )
-            self.map.kf_lm_idx[k2, f2s] = ids
-            unbound1 = (self.map.kf_lm_idx[kf_id] < 0) & self.map.kf_feat_valid[kf_id]
+            m.kf_lm_idx[k2, f2s] = ids
             created_all.append(ids)
         if created_all:
             self.recent_lm.append((np.concatenate(created_all), self.map.n_kf))
