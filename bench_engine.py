@@ -78,15 +78,13 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
     for i in range(warmup - 3, warmup):
         sysm.track_rgbl(imgs[i], clouds[i], i * 0.1)
     sysm.use_fused = True
-    # force-compile every mapping-plane program whose NATURAL first run
-    # can land inside the timed region (local BA from the 3rd keyframe;
-    # triangulation once enough unbound features exist — each first run
-    # is a multi-second compile through the tunnel)
+    # force-compile the local BA (its NATURAL first run — from the 3rd
+    # keyframe — may land inside the timed region; triangulation and fuse
+    # compile at the first warmup keyframe as single batched programs)
     sysm._join_mapping()
     if sysm.mapper is not None and sysm.map.n_kf >= 1:
         kfs = sysm.map.valid_kf_ids()
         sysm.mapper.local_bundle_adjustment(int(kfs[-1]))
-        _warm_triangulation_kernels(cfg)
     log(f"warmup {warmup} frames: {time.perf_counter()-t0:.1f}s")
 
     # ---- timed engine loop ----------------------------------------------
@@ -125,35 +123,6 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
         "n_landmarks": int(sysm.map.lm_valid.sum()),
     }
 
-
-
-def _warm_triangulation_kernels(cfg):
-    """Compile the CreateNewMapPoints kernel set at engine shapes."""
-    import jax
-    import jax.numpy as jnp
-
-    from orb_slam3_rgbl_tpu.geometry import lie, triangulation
-    from orb_slam3_rgbl_tpu.ops import fast as fast_ops
-    from orb_slam3_rgbl_tpu.ops import matching
-
-    N = int(sum(fast_ops.features_per_level(
-        cfg.orb.n_features, cfg.orb.n_levels, cfg.orb.scale_factor)))
-    cam = cfg.camera
-    d = matching.distance_table(jnp.zeros((N, 8), jnp.uint32),
-                                jnp.zeros((N, 8), jnp.uint32))
-    idx, _ = matching.mutual_best_match(
-        jnp.where(jnp.zeros((N, N), bool), d, 256.0), jnp.zeros(N), jnp.zeros(N),
-        th=matching.TH_LOW, ratio=0.8, check_rotation=True)
-    K1 = jnp.asarray(cam.K)
-    T1 = jnp.asarray(lie.se3_identity())
-    F12 = triangulation.fundamental_from_poses(K1, K1, T1, T1)
-    uv = jnp.zeros((N, 2), jnp.float32)
-    ep = triangulation.epipolar_distance_sq(F12, uv[:, None, :], uv[None, :, :])
-    xn = jnp.ones((N, 3), jnp.float32)
-    Tb = jnp.broadcast_to(T1, (N, 7))
-    cosp = triangulation.parallax_cos(xn, xn, Tb, Tb)
-    X = triangulation.triangulate_dlt(xn, xn, Tb, Tb)
-    jax.block_until_ready((idx, ep, cosp, X))
 
 
 def main():

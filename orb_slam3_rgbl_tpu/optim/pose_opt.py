@@ -110,7 +110,7 @@ def pose_optimize(
     obs: PoseObs,
     cam: PinholeCamera,
     rounds: int = 4,
-    iters_per_round: int = 10,
+    iters_per_round: int = 5,
 ) -> PoseOptResult:
     """Run the 4-round robust LM pose solve.
 
@@ -118,6 +118,12 @@ def pose_optimize(
     after each round every observation is re-classified inlier/outlier by
     chi², outliers are excluded from the next round's normal equations,
     and the Huber kernel is active only for the first two rounds.
+
+    ``iters_per_round`` defaults to 5 (the reference passes 10 to g2o,
+    but g2o terminates early on convergence — motion-only solves settle
+    in 2-4 LM steps; a fixed-trip XLA loop must budget the cap itself,
+    and 40 sequential tiny steps were ~a third of the fused frame's
+    device time).
     """
     dtype = Tcw0.dtype
 
