@@ -27,6 +27,10 @@ from orb_slam3_rgbl_tpu.geometry import lie
 
 INVALID = -1
 
+# byte → popcount lookup (vectorized Hamming for the host-side
+# distinctive-descriptor update)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
 
 @dataclasses.dataclass
 class MapState:
@@ -377,9 +381,11 @@ class MapState:
         )
         kf_global = self.valid_kf_ids()[obs_kf]
         descs = self.kf_desc[kf_global, obs_feat]          # (Mw, D, 8)
-        # pairwise hamming (numpy popcount via uint8 view)
-        b = np.unpackbits(descs.view(np.uint8), axis=-1)   # (Mw, D, 256)
-        dist = (b[:, :, None, :] != b[:, None, :, :]).sum(-1)  # (Mw, D, D)
+        # pairwise hamming via a byte-popcount table — unpackbits+compare
+        # was the mapping plane's hottest host loop (~0.3 s per keyframe)
+        b = descs.view(np.uint8)                            # (Mw, D, 32)
+        x = b[:, :, None, :] ^ b[:, None, :, :]             # (Mw, D, D, 32)
+        dist = _POPCNT8[x].sum(-1, dtype=np.int32)          # (Mw, D, D)
         big = 1 << 14
         dist = np.where(obs_mask[:, :, None] & obs_mask[:, None, :], dist, big)
         worst = np.where(obs_mask, dist.max(axis=2), big)

@@ -1098,10 +1098,10 @@ class Tracker:
         if self._fast_kf_policy(n_inl, int(n_tc), int(n_ntc)):
             if timer is not None:
                 with timer.stage("new_kf"):
-                    feats_np = FrameFeatures(*[np.asarray(a) for a in out.feats])
+                    feats_np = FrameFeatures(*jax.device_get(tuple(out.feats)))
                     self._create_keyframe(feats_np, timestamp)
             else:
-                feats_np = FrameFeatures(*[np.asarray(a) for a in out.feats])
+                feats_np = FrameFeatures(*jax.device_get(tuple(out.feats)))
                 self._create_keyframe(feats_np, timestamp)
             created = True
 
