@@ -168,6 +168,8 @@ def make_track_step(cfg: SlamConfig, window_cap: int = 8192,
         sizes must not force recompiles; the host pads/truncates).
       * 'rgbd' — ``depth_src`` is the (H, W) dense depth image
         (``Frame::ComputeStereoFromRGBD``); ``depth_valid`` is ignored.
+      * 'mono' — no depth source (``depth_src``/``depth_valid`` ignored);
+        features stay depth-free and every residual is monocular.
     """
     import numpy as np
     from orb_slam3_rgbl_tpu.ops import depth as depth_ops
@@ -210,7 +212,9 @@ def make_track_step(cfg: SlamConfig, window_cap: int = 8192,
             scale_factor=cfg.orb.scale_factor,
             ini_th=float(cfg.orb.ini_th_fast), min_th=float(cfg.orb.min_th_fast),
         )
-        if mode == "rgbd":
+        if mode == "mono":
+            pass
+        elif mode == "rgbd":
             feats = frame_mod.attach_depth_map(feats, depth_src, cam.bf)
         else:
             feats, _ = frame_mod.attach_lidar_depth(

@@ -274,7 +274,27 @@ class System:
 
         ``imu``: (S, 7) samples ``[t, ax, ay, az, gx, gy, gz]`` since the
         previous frame (≡ the ``vImuMeas`` argument of the reference
-        entry points)."""
+        entry points).
+
+        Steady-state frames run as ONE fused XLA dispatch, like the
+        depth modes (two-view initialization and recovery stay on the
+        classic ladder)."""
+        from orb_slam3_rgbl_tpu.config import MONOCULAR
+
+        if (self.use_fused and self._undistort_cam is None and imu is None
+                and self.cfg.sensor == MONOCULAR):
+            from orb_slam3_rgbl_tpu.slam.fast_path import FastPath
+
+            n_feat = self._frame_capacity()
+            if self.map is None:
+                self._spawn_components(n_feat)
+            if self._fast is None:
+                self._fast = FastPath(self.cfg, n_feat, mode="mono")
+                self.tracker.fast = self._fast
+            img = jnp.asarray(gray, jnp.float32)
+            res = self.tracker.track_image_rgbl(img, img, None, timestamp,
+                                                timer=self.timer)
+            return self._post_track(res)
         feats = self._extract(gray)
         return self._track(self._undistort_feats(feats), timestamp, imu=imu)
 

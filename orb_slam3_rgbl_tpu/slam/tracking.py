@@ -1004,6 +1004,8 @@ class Tracker:
             n_levels=cfg.orb.n_levels, scale_factor=cfg.orb.scale_factor,
             ini_th=float(cfg.orb.ini_th_fast), min_th=float(cfg.orb.min_th_fast),
         )
+        if self.fast is not None and self.fast.mode == "mono":
+            return feats
         if self.fast is not None and self.fast.mode == "rgbd":
             return frame_mod.attach_depth_map(feats, points, cam.bf)
         K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float32)

@@ -123,3 +123,31 @@ class TestRgbdFusedPath:
                              jnp.asarray(traj[:, 4:7] - traj[0, 4:7])))
         assert err < 0.15, err
         assert sysm._fast is not None and sysm._fast.mode == "rgbd"
+
+
+class TestMonoFusedPath:
+    def test_mono_odometry_from_images(self, world):
+        """Monocular fused path: two-view init on the classic ladder, then
+        single-dispatch frames; Sim3-aligned ATE (mono scale is free)."""
+        import dataclasses
+        from orb_slam3_rgbl_tpu.config import MONOCULAR
+
+        cfg = dataclasses.replace(
+            syn.synthetic_rgbl_config(), sensor=MONOCULAR)
+        cam = cfg.camera
+        # lateral + forward motion for two-view parallax
+        traj = syn.straight_trajectory(30, step=0.5, weave=1.2)
+        sysm = System(cfg)
+        states = []
+        for i, Twc in enumerate(traj):
+            img = syn.render_image(world, jnp.asarray(Twc), cam.fx, cam.fy,
+                                   cam.cx, cam.cy, cam.height, cam.width)
+            states.append(sysm.track_monocular(img, i * 0.1).state)
+        ok = np.mean([s == trk.OK for s in states])
+        assert ok > 0.8, states
+        est = sysm.trajectory()
+        gt = traj[: len(est)]
+        err = float(ate_rmse(jnp.asarray(est[:, 4:7]),
+                             jnp.asarray(gt[:, 4:7] - gt[0, 4:7]),
+                             with_scale=True))
+        assert err < 0.4, err
