@@ -62,9 +62,8 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
 
     sysm = System(cfg)
     sysm.CLOUD_CAP = int(clouds[0].shape[0])
-    # NOTE: async_mapping stays OFF here — the measurement tunnel's PJRT
-    # client stalls under concurrent dispatch from two host threads (the
-    # async plane is validated on the CPU backend in tests/test_image_e2e)
+    if os.environ.get("BENCH_ASYNC_MAPPING", "0") == "1":
+        sysm.async_mapping = True   # the reference's mapping-thread analog
     timer = StageTimer()
     sysm.timer = timer
 
