@@ -315,6 +315,8 @@ class System:
         if self.mapper is not None:
             self.mapper.timer = self.timer
         self.tracker.pre_kf_hook = self._join_mapping
+        self.tracker.mapping_busy_fn = (
+            lambda: self._map_future is not None and not self._map_future.done())
         if self._fast is not None:
             self.tracker.fast = self._fast
         if self.cfg.loop_closing:

@@ -69,6 +69,10 @@ class Tracker:
         self.pre_kf_hook = None  # called right before keyframe creation
         #   (System joins the async mapping plane here — the reference's
         #   LocalMapping::SetNotStop/queue gate)
+        self.mapping_busy_fn = None  # reference bLocalMappingIdle gate:
+        #   while the async plane is mid-job, NeedNewKeyFrame declines
+        #   (we cannot InterruptBA a dispatched XLA program, so the busy
+        #   window defers insertion instead — Tracking.cc:3137/3228)
         self._reloc_key = jax.random.PRNGKey(13)
         self.is_mono = config.sensor in (MONOCULAR, IMU_MONOCULAR)
         self._mono_ref = None          # (FrameFeatures, timestamp) init reference
@@ -823,6 +827,8 @@ class Tracker:
         if (self.map.n_kf > self.max_frames
                 and self.frame_id < self.last_reloc_frame + self.max_frames):
             return False
+        if self.mapping_busy_fn is not None and self.mapping_busy_fn():
+            return False
         ref_matches = self._ref_kf_tracked()
         depth = np.asarray(feats.depth)
         valid = np.asarray(feats.valid)
@@ -1062,6 +1068,8 @@ class Tracker:
             return False
         if (self.map.n_kf > self.max_frames
                 and self.frame_id < self.last_reloc_frame + self.max_frames):
+            return False
+        if self.mapping_busy_fn is not None and self.mapping_busy_fn():
             return False
         ref_matches = self._ref_kf_tracked()
         need_close = self._need_close(tracked_close, nontracked_close)
