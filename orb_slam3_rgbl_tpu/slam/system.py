@@ -630,6 +630,7 @@ class System:
     def reset(self):
         """Full reset (``System::Reset``): drop the entire Atlas; fresh
         components materialize on the next frame."""
+        self._join_mapping()
         self.atlas = None
         self.map = None
         self.tracker = None
@@ -644,6 +645,7 @@ class System:
         and stay mergeable."""
         if self.tracker is None:
             return
+        self._join_mapping()
         n_feat = self.map.kf_desc.shape[1]
         self.atlas.entries.pop(self.atlas.active_idx)
         self._spawn_components(n_feat)
