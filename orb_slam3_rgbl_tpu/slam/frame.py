@@ -249,3 +249,64 @@ def attach_depth_map(feats: FrameFeatures, depth_map: jax.Array, bf: float, dept
     d = jnp.where(feats.valid, d, -1.0)
     ur = jnp.where(feats.valid, ur, -1.0)
     return feats._replace(depth=d, u_right=ur)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "L"))
+def refine_stereo_subpixel(
+    feats: FrameFeatures,
+    gray_l: jax.Array,
+    gray_r: jax.Array,
+    bf: float,
+    w: int = 5,
+    L: int = 5,
+) -> FrameFeatures:
+    """SAD subpixel refinement of stereo matches (reference
+    ``Frame::ComputeStereoMatches`` correlation stage, ``Frame.cc:1005-1072``):
+    an (2w+1)² patch around the left keypoint slides ±L columns around the
+    integer-pixel right match; parabola fitting on the best L1 distances
+    gives the sub-pixel column, plus the reference's 1.5·1.4·median
+    distance outlier cut. Runs on the level-0 images (the descriptor
+    matcher already verified the association at the feature's own scale)."""
+    H, W = gray_l.shape
+    N = feats.uv.shape[0]
+    P = 2 * w + 1
+    has = feats.u_right >= 0
+    vi = jnp.clip(jnp.round(feats.uv[:, 1]).astype(jnp.int32), w, H - w - 1)
+    ui = jnp.clip(jnp.round(feats.uv[:, 0]).astype(jnp.int32), w, W - w - 1)
+    ur0 = jnp.clip(jnp.round(feats.u_right).astype(jnp.int32), w + L, W - w - L - 1)
+
+    dy = jnp.arange(-w, w + 1)
+    IL = gray_l[vi[:, None, None] + dy[None, :, None],
+                ui[:, None, None] + dy[None, None, :]]          # (N, P, P)
+    dxr = jnp.arange(-w - L, w + L + 1)
+    PR = gray_r[vi[:, None, None] + dy[None, :, None],
+                ur0[:, None, None] + dxr[None, None, :]]        # (N, P, P+2L)
+
+    def sad(i, _):
+        window = jax.lax.dynamic_slice_in_dim(PR, i, P, axis=2)
+        return i + 1, jnp.sum(jnp.abs(IL - window), axis=(1, 2))
+
+    _, dists = jax.lax.scan(lambda c, x: sad(c, x), 0, None, length=2 * L + 1)
+    dists = dists.T                                             # (N, 2L+1)
+    best = jnp.argmin(dists, axis=1)
+    interior = (best > 0) & (best < 2 * L)
+    bi = jnp.clip(best, 1, 2 * L - 1)
+    rows = jnp.arange(N)
+    d1 = dists[rows, bi - 1]
+    d2 = dists[rows, bi]
+    d3 = dists[rows, bi + 1]
+    denom = d1 + d3 - 2.0 * d2
+    delta = jnp.where(jnp.abs(denom) > 1e-6, (d1 - d3) / (2.0 * denom), 0.0)
+    ok = has & interior & (jnp.abs(delta) <= 1.0)
+
+    best_ur = ur0.astype(jnp.float32) + (bi - L).astype(jnp.float32) + delta
+    disparity = feats.uv[:, 0] - best_ur
+    ok &= disparity > 0.01
+    # median-distance outlier cut (Frame.cc:1059-1072)
+    best_d = jnp.where(ok, d2, jnp.inf)
+    med = jnp.nanmedian(jnp.where(ok, d2, jnp.nan))
+    ok &= best_d < 1.5 * 1.4 * jnp.where(jnp.isnan(med), jnp.inf, med)
+
+    u_right = jnp.where(ok, best_ur, feats.u_right)
+    depth = jnp.where(ok, bf / jnp.maximum(disparity, 1e-3), feats.depth)
+    return feats._replace(u_right=u_right, depth=depth)

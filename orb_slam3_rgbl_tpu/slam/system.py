@@ -263,6 +263,9 @@ class System:
             min_disp=0.0, max_disp=self.cam.bf / 0.5,  # z ≥ 0.5 m
             n_levels=self.cfg.orb.n_levels, scale_factor=self.cfg.orb.scale_factor,
         )
+        feats = frame_mod.refine_stereo_subpixel(
+            feats, jnp.asarray(gray_l, jnp.float32),
+            jnp.asarray(gray_r, jnp.float32), self.cam.bf)
         return self._track(self._undistort_feats(feats), timestamp, imu=imu)
 
     def track_monocular(self, gray: np.ndarray, timestamp: float,

@@ -275,3 +275,38 @@ class TestDescriptorGoldenCv2:
                           axis=1).sum(1)
         assert d.mean() < 8.0, d.mean()
         assert np.median(d) <= 6.0, np.median(d)
+
+
+class TestStereoSubpixel:
+    def test_sad_parabola_beats_integer_disparity(self, rng):
+        """SAD subpixel refinement (``Frame::ComputeStereoMatches``
+        correlation stage, Frame.cc:1005-1072): on a fractionally-shifted
+        stereo pair the refined disparity must beat the integer-pixel
+        match by several times (keypoints are integer-positioned at their
+        level, exactly as FAST produces them)."""
+        from scipy.ndimage import shift as ndshift, gaussian_filter
+
+        H, W = 120, 240
+        img = gaussian_filter(rng.uniform(0, 255, (H, W)), 1.5).astype(np.float32)
+        d_true = 7.36
+        right = ndshift(img, (0.0, -d_true), order=3,
+                        mode="nearest").astype(np.float32)
+        N = 64
+        uv = np.stack([rng.integers(30, W - 30, N),
+                       rng.integers(20, H - 20, N)], 1).astype(np.float32)
+        ur_int = np.round(uv[:, 0] - d_true)
+        feats = frame_mod.FrameFeatures(
+            uv=jnp.asarray(uv), response=jnp.zeros(N),
+            octave=jnp.zeros(N, jnp.int32), angle=jnp.zeros(N),
+            desc=jnp.zeros((N, 8), jnp.uint32), valid=jnp.ones(N, bool),
+            depth=jnp.full(N, -1.0),
+            u_right=jnp.asarray(ur_int.astype(np.float32)))
+        out = frame_mod.refine_stereo_subpixel(
+            feats, jnp.asarray(img), jnp.asarray(right), bf=100.0)
+        disp = uv[:, 0] - np.asarray(out.u_right)
+        err = np.abs(disp - d_true)
+        err_int = np.abs((uv[:, 0] - ur_int) - d_true)
+        assert np.median(err) < 0.12, np.median(err)
+        assert np.median(err) < 0.5 * np.median(err_int)
+        # refined depths replace the integer ones
+        assert (np.asarray(out.depth) > 0).all()
