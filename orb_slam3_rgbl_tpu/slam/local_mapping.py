@@ -526,6 +526,12 @@ class LocalMapper:
         lm_ids = lm_ids[self.map.lm_valid[lm_ids]][:BA_LM_CAP]
         if lm_ids.size < 30:
             return
+        # landmark capacity tiers (powers of two, ≥2048): small windows
+        # were paying the full 8192-slot problem upload every keyframe
+        # (~3 MB through the measurement tunnel)
+        from orb_slam3_rgbl_tpu.slam.ba_assembly import _tier
+
+        lm_cap = min(_tier(lm_ids.size, 2048), BA_LM_CAP)
 
         # fixed observers: other KFs seeing these landmarks
         mask = np.zeros(self.map.capacity_lm, bool)
@@ -557,7 +563,7 @@ class LocalMapper:
         poses[: len(window)] = self.map.kf_pose[window]
         pose_valid[: len(window)] = True
 
-        Mw = BA_LM_CAP
+        Mw = lm_cap
         obs_kf, obs_feat, obs_mask, obs_uv, obs_ur = self.map.gather_observations(
             window, lm_ids, BA_OBS_CAP
         )
