@@ -526,12 +526,14 @@ class LocalMapper:
         lm_ids = lm_ids[self.map.lm_valid[lm_ids]][:BA_LM_CAP]
         if lm_ids.size < 30:
             return
-        # landmark capacity tiers (powers of two, ≥2048): small windows
-        # were paying the full 8192-slot problem upload every keyframe
-        # (~3 MB through the measurement tunnel)
+        # landmark capacity tiers (powers of two, minimum 4096): small
+        # windows were paying the full 8192-slot problem upload every
+        # keyframe; the floor keeps early-map and steady-state keyframes
+        # on the SAME compiled program (a lower floor put the first BA on
+        # a tier the rest of the run never reuses — one wasted compile)
         from orb_slam3_rgbl_tpu.slam.ba_assembly import _tier
 
-        lm_cap = min(_tier(lm_ids.size, 2048), BA_LM_CAP)
+        lm_cap = min(_tier(lm_ids.size, 4096), BA_LM_CAP)
 
         # fixed observers: other KFs seeing these landmarks
         mask = np.zeros(self.map.capacity_lm, bool)
