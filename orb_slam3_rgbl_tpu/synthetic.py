@@ -264,3 +264,36 @@ def render_depth(world: World, Twc: jax.Array, fx: float, fy: float,
     o = jnp.broadcast_to(c, d_w.shape)
     t, plane, hit = _cast(world, o, d_w)
     return jnp.where(hit, t, 0.0)
+
+
+def make_box_world(seed: int = 0, tex_size: int = 512, half: float = 14.0,
+                   ground_y: float = 1.6) -> World:
+    """Closed square room (4 inward-facing walls + ground): a circular
+    trajectory inside revisits its own view — the image-level loop-closure
+    scenario the straight canyon cannot produce."""
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, 5)
+    texs = []
+    for k in keys:
+        t = jax.random.uniform(k, (tex_size, tex_size), jnp.float32)
+        for _ in range(2):
+            t = sum(jnp.roll(t, r, axis=0) for r in range(-2, 3)) / 5.0
+            t = sum(jnp.roll(t, r, axis=1) for r in range(-2, 3)) / 5.0
+        t = t - t.min()
+        t = t / jnp.maximum(t.max(), 1e-6) * 235.0 + 10.0
+        texs.append(t)
+    normals = jnp.asarray([
+        [0.0, 1.0, 0.0],   # ground y = ground_y
+        [1.0, 0.0, 0.0],   # wall x = −half
+        [1.0, 0.0, 0.0],   # wall x = +half
+        [0.0, 0.0, 1.0],   # wall z = −half
+        [0.0, 0.0, 1.0],   # wall z = +half
+    ], jnp.float32)
+    offsets = jnp.asarray([ground_y, -half, half, -half, half], jnp.float32)
+    e1 = jnp.asarray([[1, 0, 0], [0, 0, 1], [0, 0, 1], [1, 0, 0], [1, 0, 0]],
+                     jnp.float32)
+    e2 = jnp.asarray([[0, 0, 1], [0, 1, 0], [0, 1, 0], [0, 1, 0], [0, 1, 0]],
+                     jnp.float32)
+    tex_scale = jnp.asarray([3.0] * 5, jnp.float32)
+    return World(normals=normals, offsets=offsets, e1=e1, e2=e2,
+                 tex=jnp.stack(texs), tex_scale=tex_scale)
