@@ -114,7 +114,7 @@ def _engine_bench_subprocess(n: int, timeout_s: int):
 
 
 def main():
-    n = int(os.environ.get("BENCH_ENGINE_FRAMES", "110"))
+    n = int(os.environ.get("BENCH_ENGINE_FRAMES", "300"))
     wd = int(os.environ.get("BENCH_ENGINE_TIMEOUT_S", "1500"))
     eng = _engine_bench_subprocess(n, wd)
     kfps = kernel_fps()

@@ -8,13 +8,22 @@ ON DEVICE by the synthetic ray-cast world (zero host↔device image/cloud
 traffic — the measurement tunnel's ~14 MB/s would otherwise dominate; a
 deployment streams sensor data over PCIe).
 
+Default mode (round 4): REFERENCE KEYFRAME CADENCE — a closed box world
+driven in two laps (~300 frames) with a keyframe FORCED every 4 frames
+(the reference's NeedNewKeyFrame density on real KITTI, ~1 KF per 3-5
+frames, Tracking.cc:3098-3249 — synthetic worlds track too well to reach
+it naturally), the async mapping plane ON, and ≥1 full loop closure
+(retrieval → Sim3 → essential graph → GBA) inside the timed window.
+Reports sustained FPS, ATE, keyframes per 100 frames, busy-gate-deferred
+insertions (must be ~0 — deferrals mean the mapping plane is thinning
+the map to keep up), and loop-event count.
+
 Method: pre-render F frames on device with exact ground truth; warm up
 over the first W frames AND force-compile the classic fallback ladder
 (the tunnel TPU backend does not persist executables, so every program
 must compile inside this process before the clock starts); time the
 remaining frames wall-clock (each frame's control loop downloads the
-pose, so the clock sees completed work). Reports sustained FPS, the
-REGISTER_TIMES stage taxonomy, and the run's ATE as a sanity gate.
+pose, so the clock sees completed work).
 """
 
 import json
@@ -30,7 +39,8 @@ os.environ.setdefault(
 import numpy as np
 
 
-def run_engine_bench(n_frames: int = 110, warmup: int = 40,
+def run_engine_bench(n_frames: int = 300, warmup: int = 40,
+                     cadence: int = 4,
                      log=lambda *a: print(*a, file=sys.stderr)) -> dict:
     import jax
     import jax.numpy as jnp
@@ -45,8 +55,17 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
 
     cfg = kitti_rgbl_config()
     cam = cfg.camera
-    world = syn.make_world(0, tex_size=512, half_width=10.0, far_z=150.0)
-    traj = syn.straight_trajectory(n_frames, step=1.0, weave=0.5)
+    if cadence > 0:
+        # closed box world, two laps → the revisit fires a full loop
+        # closure inside the timed window
+        radius = 22.0
+        world = syn.make_box_world(0, tex_size=512, half=radius + 14.0)
+        lap_n = max((n_frames + 8) // 2, 40)
+        lap = syn.loop_trajectory(lap_n, radius=radius)
+        traj = np.concatenate([lap, lap[8:]])[:n_frames]
+    else:
+        world = syn.make_world(0, tex_size=512, half_width=10.0, far_z=150.0)
+        traj = syn.straight_trajectory(n_frames, step=1.0, weave=0.5)
 
     # ---- pre-render all frames on device (no host round-trips) ----------
     t0 = time.perf_counter()
@@ -62,7 +81,7 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
 
     sysm = System(cfg)
     sysm.CLOUD_CAP = int(clouds[0].shape[0])
-    if os.environ.get("BENCH_ASYNC_MAPPING", "0") == "1":
+    if os.environ.get("BENCH_ASYNC_MAPPING", "1") == "1":
         sysm.async_mapping = True   # the reference's mapping-thread analog
     timer = StageTimer()
     sysm.timer = timer
@@ -84,9 +103,13 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
     if sysm.mapper is not None and sysm.map.n_kf >= 1:
         kfs = sysm.map.valid_kf_ids()
         sysm.mapper.local_bundle_adjustment(int(kfs[-1]))
+    if cadence > 0 and sysm.tracker is not None:
+        sysm.tracker.force_kf_every = cadence
+        sysm.tracker.deferred_kf = 0
     log(f"warmup {warmup} frames: {time.perf_counter()-t0:.1f}s")
 
     # ---- timed engine loop ----------------------------------------------
+    n_kf_before = int(sysm.map.n_kf)
     t0 = time.perf_counter()
     per_frame = []
     kf_frames = []
@@ -96,6 +119,7 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
         per_frame.append(time.perf_counter() - ta)
         if r.created_kf:
             kf_frames.append(i)
+    sysm.shutdown()   # drain the async mapping plane + any running GBA
     wall = time.perf_counter() - t0
     worst = np.argsort(per_frame)[-5:]
     log("slowest frames: " + ", ".join(
@@ -104,29 +128,41 @@ def run_engine_bench(n_frames: int = 110, warmup: int = 40,
     n_timed = n_frames - warmup
     fps = n_timed / wall
     med_ms = float(np.median(per_frame) * 1e3)
+    p95_ms = float(np.percentile(per_frame, 95) * 1e3)
 
     est = sysm.trajectory()
     gt = traj[: len(est)]
     err = float(ate_rmse(jnp.asarray(est[:, 4:7]),
                          jnp.asarray(gt[:, 4:7] - gt[0, 4:7])))
 
+    n_kf_timed = len(kf_frames)
+    deferred = int(getattr(sysm.tracker, "deferred_kf", 0))
+    n_loops = len(sysm.loop_closer.events) if sysm.loop_closer else 0
     log(timer.report())
-    log(f"engine: {fps:.1f} FPS sustained ({med_ms:.1f} ms median/frame), "
-        f"{sysm.map.n_kf} KFs, {int(sysm.map.lm_valid.sum())} landmarks, "
+    log(f"engine: {fps:.1f} FPS sustained ({med_ms:.1f} ms median, "
+        f"{p95_ms:.0f} ms p95), {sysm.map.n_kf} KFs total "
+        f"({n_kf_timed} in timed window = "
+        f"{100.0 * n_kf_timed / n_timed:.1f}/100 frames, {deferred} deferred), "
+        f"{int(sysm.map.lm_valid.sum())} landmarks, {n_loops} loop events, "
         f"ATE {err:.3f} m over {n_frames} frames")
     return {
         "engine_fps": round(fps, 2),
         "median_frame_ms": round(med_ms, 2),
+        "p95_frame_ms": round(p95_ms, 1),
         "ate_m": round(err, 4),
         "n_kf": int(sysm.map.n_kf),
+        "kf_per_100_frames": round(100.0 * n_kf_timed / n_timed, 1),
+        "deferred_kf": deferred,
+        "loop_events": n_loops,
         "n_landmarks": int(sysm.map.lm_valid.sum()),
     }
 
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 110
-    out = run_engine_bench(n_frames=n)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    cadence = int(os.environ.get("BENCH_KF_CADENCE", "4"))
+    out = run_engine_bench(n_frames=n, cadence=cadence)
     print(json.dumps({
         "metric": "rgbl_engine_fps",
         "value": out["engine_fps"],

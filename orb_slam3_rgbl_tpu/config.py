@@ -155,6 +155,25 @@ class SlamConfig:
     def inertial(self) -> bool:
         return self.sensor in (IMU_MONOCULAR, IMU_STEREO, IMU_RGBD)
 
+    @property
+    def geo_camera(self):
+        """The geometric camera used by matching/optimization residuals
+        (reference ``GeometricCamera`` polymorphism): a
+        ``KannalaBrandt8Camera`` when ``Camera.type`` is KannalaBrandt8
+        (the KB8 coefficients ride in the k1/k2/k3/p2 slots of the parsed
+        calibration, matching the reference YAML key order
+        Camera.k1..k4), else the pinhole itself."""
+        if self.camera_type == "KannalaBrandt8":
+            from orb_slam3_rgbl_tpu.geometry.camera import KannalaBrandt8Camera
+
+            c = self.camera
+            return KannalaBrandt8Camera(
+                fx=c.fx, fy=c.fy, cx=c.cx, cy=c.cy,
+                k0=c.k1, k1=c.k2, k2=c.k3, k3=c.p2,
+                width=c.width, height=c.height, bf=c.bf,
+                th_depth=c.th_depth)
+        return self.camera
+
 
 _NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 

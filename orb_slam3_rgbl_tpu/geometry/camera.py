@@ -285,6 +285,78 @@ def kb8_epipolar_constrain(
     return valid
 
 
+# ---------------------------------------------------------------------------
+# Generic dispatch — optimizer residuals parameterized by camera model
+# (reference reprojection edges project through the abstract
+# ``GeometricCamera``, OptimizableTypes.h:31-196 / G2oTypes.h:74-817, so
+# fisheye datasets optimize native; the solvers here take the camera as a
+# static jit argument and branch at trace time)
+# ---------------------------------------------------------------------------
+
+def is_fisheye(cam) -> bool:
+    return isinstance(cam, KannalaBrandt8Camera)
+
+
+def geo_project(cam, pts_cam: jax.Array) -> jax.Array:
+    """(..., 3) camera-frame points → (..., 2) pixels, any camera model."""
+    if is_fisheye(cam):
+        return kb8_project(cam, pts_cam)
+    return project(cam, pts_cam)
+
+
+def geo_project_jacobian(cam, pts_cam: jax.Array) -> jax.Array:
+    """(..., 2, 3) ∂uv/∂pt, any camera model."""
+    if is_fisheye(cam):
+        return kb8_project_jacobian(cam, pts_cam)
+    return project_jacobian(cam, pts_cam)
+
+
+def geo_unproject(cam, uv: jax.Array) -> jax.Array:
+    """(..., 2) pixels → (..., 3) z=1 bearing, any camera model."""
+    if is_fisheye(cam):
+        return kb8_unproject(cam, uv)
+    return unproject(cam, uv)
+
+
+def np_geo_project(cam, pts_cam):
+    """Host-side (numpy) projection for the per-frame matching paths —
+    avoids a device dispatch per classic-ladder stage."""
+    import numpy as np
+
+    x, y, z = pts_cam[..., 0], pts_cam[..., 1], pts_cam[..., 2]
+    if is_fisheye(cam):
+        r = np.sqrt(x * x + y * y + 1e-18)
+        theta = np.arctan2(r, z)
+        t2 = theta * theta
+        d = theta * (1.0 + t2 * (cam.k0 + t2 * (cam.k1 + t2 * (cam.k2 + t2 * cam.k3))))
+        s = d / r
+        return np.stack([cam.fx * s * x + cam.cx, cam.fy * s * y + cam.cy], axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = cam.fx * x / z + cam.cx
+        v = cam.fy * y / z + cam.cy
+    return np.stack([np.nan_to_num(u), np.nan_to_num(v)], axis=-1)
+
+
+def np_geo_unproject(cam, uv, iters: int = 10):
+    """Host-side (numpy) z=1 bearing for any camera model (Newton on θ
+    for KB8, mirroring :func:`kb8_unproject`)."""
+    import numpy as np
+
+    mx = (uv[..., 0] - cam.cx) / cam.fx
+    my = (uv[..., 1] - cam.cy) / cam.fy
+    if is_fisheye(cam):
+        d = np.sqrt(mx * mx + my * my + 1e-18)
+        theta = d.copy()
+        for _ in range(iters):
+            t2 = theta * theta
+            f = theta * (1.0 + t2 * (cam.k0 + t2 * (cam.k1 + t2 * (cam.k2 + t2 * cam.k3)))) - d
+            fp = 1.0 + t2 * (3 * cam.k0 + t2 * (5 * cam.k1 + t2 * (7 * cam.k2 + t2 * 9 * cam.k3)))
+            theta = theta - f / fp
+        s = np.tan(theta) / d
+        return np.stack([mx * s, my * s, np.ones_like(mx)], axis=-1)
+    return np.stack([mx, my, np.ones_like(mx)], axis=-1)
+
+
 def stereo_depth_from_disparity(cam: PinholeCamera, u_left: jax.Array, u_right: jax.Array) -> jax.Array:
     """Depth from pseudo-stereo: z = bf / (uL − uR).
 

@@ -102,3 +102,28 @@ def epipolar_distance_sq(F12: jax.Array, uv1: jax.Array, uv2: jax.Array) -> jax.
     num = jnp.einsum("...i,...i->...", x2, line)
     den = line[..., 0] ** 2 + line[..., 1] ** 2
     return num * num / jnp.where(den < 1e-12, 1e-12, den)
+
+
+def essential_from_poses(Tc1w: jax.Array, Tc2w: jax.Array) -> jax.Array:
+    """E12 on normalized bearings: x1ᵀ E12 x2 = 0 (the calibration-free
+    half of :func:`fundamental_from_poses` — fisheye epipolar geometry
+    lives on bearings, since image-plane epipolar *lines* are curves
+    under KB8 distortion; reference ``KannalaBrandt8::epipolarConstrain``
+    avoids F entirely for the same reason)."""
+    T12 = lie.se3_mul(Tc1w, lie.se3_inv(Tc2w))
+    R12 = lie.quat_to_matrix(lie.se3_rot(T12))
+    t12 = lie.se3_trans(T12)
+    return lie.so3_hat(t12) @ R12
+
+
+def bearing_sampson_sq(E12: jax.Array, x1: jax.Array, x2: jax.Array,
+                       f_scale: float) -> jax.Array:
+    """First-order (Sampson) squared epipolar error of bearing pairs
+    (..., 3), scaled by ``f_scale²`` (≈ focal length) into pixel² units so
+    the pinhole chi² gates (3.84 σ²) apply unchanged."""
+    Ex2 = jnp.einsum("...ij,...j->...i", E12, x2)
+    Etx1 = jnp.einsum("...ji,...j->...i", E12, x1)
+    num = jnp.einsum("...i,...i->...", x1, Ex2)
+    den = (Ex2[..., 0] ** 2 + Ex2[..., 1] ** 2
+           + Etx1[..., 0] ** 2 + Etx1[..., 1] ** 2)
+    return (f_scale * f_scale) * num * num / jnp.where(den < 1e-12, 1e-12, den)

@@ -138,8 +138,11 @@ def global_bundle_adjust(
         new_poses = lie.se3_normalize(lie.se3_mul(lie.se3_exp(dp), poses))
         new_lms = lms + dl
         P2 = problem._replace(poses=new_poses, landmarks=new_lms)
-        *_, cost_new = _linearize(P2, cam, use_huber, jnp.ones_like(problem.obs_mask))
-        accept = cost_new < cost
+        *_, active2, cost_new = _linearize(P2, cam, use_huber, jnp.ones_like(problem.obs_mask))
+        # reject diverged steps: NaN or an emptied active set collapses
+        # the cost to 0 and would otherwise be accepted
+        accept = ((cost_new < cost) & jnp.isfinite(cost_new)
+                  & (2 * jnp.sum(active2) >= jnp.sum(active)))
         poses = jnp.where(accept, new_poses, poses)
         lms = jnp.where(accept, new_lms, lms)
         lam = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-8), jnp.minimum(lam * 5.0, 1e4))

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from orb_slam3_rgbl_tpu.geometry import lie
 from orb_slam3_rgbl_tpu.geometry.camera import PinholeCamera
+from orb_slam3_rgbl_tpu.geometry import camera as cam_mod
 from orb_slam3_rgbl_tpu.imu import preintegration as pre
 from orb_slam3_rgbl_tpu.optim.pose_opt import PoseObs, CHI2_MONO, CHI2_STEREO
 
@@ -104,10 +105,14 @@ def inertial_pose_optimize(
         Tcw = lie.se3_mul(T_cb, lie.se3_inv(s.Twb))
         pc = lie.se3_apply(Tcw, obs.Xw)
         z = jnp.where(jnp.abs(pc[:, 2]) < 1e-6, 1e-6, pc[:, 2])
-        u = cam.fx * pc[:, 0] / z + cam.cx
-        v = cam.fy * pc[:, 1] / z + cam.cy
-        ur = u - cam.bf / z
-        is_stereo = obs.u_right >= 0
+        uvh = cam_mod.geo_project(cam, pc)
+        u, v = uvh[:, 0], uvh[:, 1]
+        if cam_mod.is_fisheye(cam):
+            is_stereo = jnp.zeros_like(obs.u_right >= 0)
+            ur = jnp.zeros_like(u)
+        else:
+            is_stereo = obs.u_right >= 0
+            ur = u - cam.bf / z
         r_vis = jnp.stack(
             [obs.uv[:, 0] - u, obs.uv[:, 1] - v, jnp.where(is_stereo, obs.u_right - ur, 0.0)],
             axis=-1,
@@ -136,10 +141,14 @@ def inertial_pose_optimize(
         Tcw = lie.se3_mul(T_cb, lie.se3_inv(s.Twb))
         pc = lie.se3_apply(Tcw, obs.Xw)
         z = jnp.where(jnp.abs(pc[:, 2]) < 1e-6, 1e-6, pc[:, 2])
-        u = cam.fx * pc[:, 0] / z + cam.cx
-        v = cam.fy * pc[:, 1] / z + cam.cy
-        ur = u - cam.bf / z
-        is_stereo = obs.u_right >= 0
+        uvh = cam_mod.geo_project(cam, pc)
+        u, v = uvh[:, 0], uvh[:, 1]
+        if cam_mod.is_fisheye(cam):
+            is_stereo = jnp.zeros_like(obs.u_right >= 0)
+            ur = jnp.zeros_like(u)
+        else:
+            is_stereo = obs.u_right >= 0
+            ur = u - cam.bf / z
         e2 = (obs.uv[:, 0] - u) ** 2 + (obs.uv[:, 1] - v) ** 2 + jnp.where(
             is_stereo, (obs.u_right - ur) ** 2, 0.0
         )
@@ -154,7 +163,7 @@ def inertial_pose_optimize(
             x_new = x + dx
             r2, w2 = residuals(x_new, active)
             c_new = jnp.sum(w2 * r2 * r2)
-            ok = c_new < cost
+            ok = (c_new < cost) & jnp.isfinite(c_new)
             x = jnp.where(ok, x_new, x)
             lam = jnp.where(ok, lam * 0.5, lam * 4.0)
             return (x, lam), None
@@ -316,7 +325,7 @@ def imu_initialization(
         x_new = x + dx
         r2, w2 = residuals(x_new)
         c_new = jnp.sum(w2 * r2 * r2)
-        ok = c_new < cost
+        ok = (c_new < cost) & jnp.isfinite(c_new)
         x = jnp.where(ok, x_new, x)
         lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 5.0, 1e5))
         return (x, lam, jnp.where(ok, c_new, cost)), None

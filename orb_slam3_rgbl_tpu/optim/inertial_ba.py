@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_rgbl_tpu.geometry import lie
+from orb_slam3_rgbl_tpu.geometry import camera as cam_mod
 from orb_slam3_rgbl_tpu.geometry.camera import PinholeCamera
 from orb_slam3_rgbl_tpu.imu import preintegration as pre
 from orb_slam3_rgbl_tpu.optim.pose_opt import CHI2_MONO, CHI2_STEREO, HUBER_MONO, HUBER_STEREO
@@ -93,11 +94,16 @@ def _visual_linearize(P: VIBAProblem, cam: PinholeCamera, use_huber, obs_active)
     x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
     safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
     inv_z = 1.0 / safe_z
-    u_hat = cam.fx * x * inv_z + cam.cx
-    v_hat = cam.fy * y * inv_z + cam.cy
-    ur_hat = u_hat - cam.bf * inv_z
-
-    is_stereo = P.obs_ur >= 0
+    # camera-model-generic projection (pinhole | KB8 — reference
+    # G2oTypes EdgeMono/EdgeStereo project through GeometricCamera)
+    uv_hat = cam_mod.geo_project(cam, pc)
+    u_hat, v_hat = uv_hat[..., 0], uv_hat[..., 1]
+    if cam_mod.is_fisheye(cam):
+        is_stereo = jnp.zeros_like(P.obs_ur >= 0)
+        ur_hat = jnp.zeros_like(u_hat)
+    else:
+        is_stereo = P.obs_ur >= 0
+        ur_hat = u_hat - cam.bf * inv_z
     r = jnp.stack([
         P.obs_uv[..., 0] - u_hat,
         P.obs_uv[..., 1] - v_hat,
@@ -106,9 +112,13 @@ def _visual_linearize(P: VIBAProblem, cam: PinholeCamera, use_huber, obs_active)
 
     inv_z2 = inv_z * inv_z
     zeros = jnp.zeros_like(z)
-    row_u = jnp.stack([cam.fx * inv_z, zeros, -cam.fx * x * inv_z2], axis=-1)
-    row_v = jnp.stack([zeros, cam.fy * inv_z, -cam.fy * y * inv_z2], axis=-1)
-    row_r = row_u + jnp.stack([zeros, zeros, cam.bf * inv_z2], axis=-1)
+    Juv = cam_mod.geo_project_jacobian(cam, pc)
+    row_u = Juv[..., 0, :]
+    row_v = Juv[..., 1, :]
+    if cam_mod.is_fisheye(cam):
+        row_r = jnp.zeros_like(row_u)
+    else:
+        row_r = row_u + jnp.stack([zeros, zeros, cam.bf * inv_z2], axis=-1)
     Jproj = jnp.stack([row_u, row_v, row_r], axis=-2)   # (M, D, 3, 3)
 
     R_cw = lie.quat_to_matrix(lie.se3_rot(T_obs))       # (M, D, 3, 3)
@@ -270,7 +280,8 @@ def vi_bundle_adjust(problem: VIBAProblem, cam: PinholeCamera,
         dx, dl = _build_and_solve(P, r, Jp, Jl, w, r_in, J_in, w_in, lam)
         P_new = _apply_state_delta(P, dx)._replace(landmarks=P.landmarks + dl)
         c_new = total_cost(P_new, use_huber, obs_active)
-        accept = c_new < cost_v + cost_i
+        # reject diverged (NaN / cost-collapse) steps
+        accept = (c_new < cost_v + cost_i) & jnp.isfinite(c_new)
         P = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a) if a.dtype != bool else a, P, P_new)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-10),

@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_rgbl_tpu.geometry import lie
-from orb_slam3_rgbl_tpu.geometry.camera import PinholeCamera
+from orb_slam3_rgbl_tpu.geometry.camera import (
+    PinholeCamera, geo_project, geo_project_jacobian, is_fisheye,
+)
 from orb_slam3_rgbl_tpu.optim.pose_opt import CHI2_MONO, CHI2_STEREO, HUBER_MONO, HUBER_STEREO
 
 
@@ -60,11 +62,14 @@ class BAResult(NamedTuple):
     cost: jax.Array
 
 
-def _linearize(problem: BAProblem, cam: PinholeCamera, use_huber: bool, obs_active: jax.Array):
+def _linearize(problem: BAProblem, cam, use_huber: bool, obs_active: jax.Array):
     """Residuals + Jacobians for all (M, D) observations.
 
     Returns r (M,D,3), Jp (M,D,3,6), Jl (M,D,3,3), weights w (M,D),
-    chi2 (M,D), and the per-observation active mask."""
+    chi2 (M,D), and the per-observation active mask. ``cam`` is any
+    geometric model (pinhole | KB8 — the reference edges project through
+    ``GeometricCamera``, G2oTypes.h:74-817); fisheye observations carry
+    no pseudo-stereo row."""
     P = problem
     T_obs = P.poses[P.obs_kf]          # (M, D, 7)
     X = P.landmarks[:, None, :]        # (M, 1, 3)
@@ -72,11 +77,15 @@ def _linearize(problem: BAProblem, cam: PinholeCamera, use_huber: bool, obs_acti
     x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
     safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
     inv_z = 1.0 / safe_z
-    u_hat = cam.fx * x * inv_z + cam.cx
-    v_hat = cam.fy * y * inv_z + cam.cy
-    ur_hat = u_hat - cam.bf * inv_z
+    uv_hat = geo_project(cam, pc)
+    u_hat, v_hat = uv_hat[..., 0], uv_hat[..., 1]
 
     is_stereo = P.obs_ur >= 0
+    if is_fisheye(cam):
+        is_stereo = jnp.zeros_like(is_stereo)
+        ur_hat = jnp.zeros_like(u_hat)
+    else:
+        ur_hat = u_hat - cam.bf * inv_z
     r = jnp.stack(
         [
             P.obs_uv[..., 0] - u_hat,
@@ -89,9 +98,13 @@ def _linearize(problem: BAProblem, cam: PinholeCamera, use_huber: bool, obs_acti
     inv_z2 = inv_z * inv_z
     zeros = jnp.zeros_like(z)
     # d(u,v,uR)/d(pc) — (M, D, 3, 3)
-    row_u = jnp.stack([cam.fx * inv_z, zeros, -cam.fx * x * inv_z2], axis=-1)
-    row_v = jnp.stack([zeros, cam.fy * inv_z, -cam.fy * y * inv_z2], axis=-1)
-    row_r = row_u + jnp.stack([zeros, zeros, cam.bf * inv_z2], axis=-1)
+    Juv = geo_project_jacobian(cam, pc)
+    row_u = Juv[..., 0, :]
+    row_v = Juv[..., 1, :]
+    if is_fisheye(cam):
+        row_r = jnp.zeros_like(row_u)
+    else:
+        row_r = row_u + jnp.stack([zeros, zeros, cam.bf * inv_z2], axis=-1)
     Jproj = jnp.stack([row_u, row_v, row_r], axis=-2)
 
     R_obs = lie.quat_to_matrix(lie.se3_rot(T_obs))  # (M, D, 3, 3)
@@ -208,8 +221,13 @@ def bundle_adjust(
         new_poses = lie.se3_normalize(lie.se3_mul(lie.se3_exp(dp), poses))
         new_lms = lms + dl
         P2 = P._replace(poses=new_poses, landmarks=new_lms)
-        *_, cost_new = _linearize(P2, cam, use_huber, obs_active)
-        accept = cost_new < cost
+        *_, active2, cost_new = _linearize(P2, cam, use_huber, obs_active)
+        # a diverged step can throw every point behind the camera (or go
+        # NaN): active empties, cost collapses to 0 and would "win" —
+        # accept only finite steps that keep the active set alive
+        n_act = jnp.sum(active)
+        n_act2 = jnp.sum(active2)
+        accept = (cost_new < cost) & jnp.isfinite(cost_new) & (2 * n_act2 >= n_act)
         poses = jnp.where(accept, new_poses, poses)
         lms = jnp.where(accept, new_lms, lms)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-10), jnp.minimum(lam * 4.0, 1e4))

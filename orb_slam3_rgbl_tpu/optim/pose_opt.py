@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam3_rgbl_tpu.geometry import lie
-from orb_slam3_rgbl_tpu.geometry.camera import PinholeCamera, project_jacobian
+from orb_slam3_rgbl_tpu.geometry.camera import (
+    PinholeCamera, geo_project, geo_project_jacobian, is_fisheye,
+)
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
@@ -50,19 +52,26 @@ class PoseOptResult(NamedTuple):
     chi2: jax.Array      # () final robust cost
 
 
-def _residuals_and_jac(Tcw: jax.Array, obs: PoseObs, cam: PinholeCamera):
+def _residuals_and_jac(Tcw: jax.Array, obs: PoseObs, cam):
     """Per-observation 3-vector residual [u, v, uR] (uR row zeroed for
     mono) and its (M, 3, 6) Jacobian w.r.t. the left-multiplicative SE3
     tangent. Analytic, matching ``EdgeSE3ProjectXYZOnlyPose`` +
-    ``EdgeStereoSE3ProjectXYZOnlyPose`` linearization."""
+    ``EdgeStereoSE3ProjectXYZOnlyPose`` linearization. The camera is any
+    geometric model (pinhole | KB8 — reference edges project through
+    ``GeometricCamera``, OptimizableTypes.h:31-196); fisheye observations
+    are always mono (no pseudo-stereo column, Frame stereo-fisheye ctor)."""
     pc = lie.se3_apply(Tcw, obs.Xw)  # (M, 3)
     z = pc[:, 2]
     safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-    u_hat = cam.fx * pc[:, 0] / safe_z + cam.cx
-    v_hat = cam.fy * pc[:, 1] / safe_z + cam.cy
-    ur_hat = u_hat - cam.bf / safe_z
+    uv_hat = geo_project(cam, pc)
+    u_hat, v_hat = uv_hat[:, 0], uv_hat[:, 1]
 
     is_stereo = obs.u_right >= 0
+    if is_fisheye(cam):
+        is_stereo = jnp.zeros_like(is_stereo)
+        ur_hat = jnp.zeros_like(u_hat)
+    else:
+        ur_hat = u_hat - cam.bf / safe_z
     r = jnp.stack(
         [
             obs.uv[:, 0] - u_hat,
@@ -76,11 +85,14 @@ def _residuals_and_jac(Tcw: jax.Array, obs: PoseObs, cam: PinholeCamera):
     eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (pc.shape[0], 3, 3))
     dpc = jnp.concatenate([eye, -lie.so3_hat(pc)], axis=-1)
 
-    Juv = project_jacobian(cam, pc)  # (M, 2, 3) d(u,v)/d(pc)
-    # uR = u − bf/z → dUr/dpc = dU/dpc + bf/z² · e_z
-    dur = Juv[:, 0, :] + jnp.stack(
-        [jnp.zeros_like(z), jnp.zeros_like(z), cam.bf / (safe_z * safe_z)], axis=-1
-    )
+    Juv = geo_project_jacobian(cam, pc)  # (M, 2, 3) d(u,v)/d(pc)
+    if is_fisheye(cam):
+        dur = jnp.zeros_like(Juv[:, 0, :])
+    else:
+        # uR = u − bf/z → dUr/dpc = dU/dpc + bf/z² · e_z
+        dur = Juv[:, 0, :] + jnp.stack(
+            [jnp.zeros_like(z), jnp.zeros_like(z), cam.bf / (safe_z * safe_z)], axis=-1
+        )
     Jfull = jnp.concatenate([Juv, dur[:, None, :]], axis=1)  # (M, 3, 3)
     # residual = measured − predicted → J_r = −J_pred
     J = -jnp.einsum("mij,mjk->mik", Jfull, dpc)  # (M, 3, 6)
@@ -153,7 +165,10 @@ def pose_optimize(
             active2 = obs.valid & inlier & depth_ok2
             cost_new = jnp.sum(jnp.where(active2, jnp.minimum(chi2_new, 1e6) * w_rob2, 0.0))
 
-            accept = cost_new < cost
+            # diverged steps can empty the active set (all points behind
+            # camera / NaN) and collapse the cost to 0 — reject those
+            accept = ((cost_new < cost) & jnp.isfinite(cost_new)
+                      & (2 * jnp.sum(active2) >= jnp.sum(active)))
             Tcw = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b), T_new, Tcw)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6))
             return (Tcw, lam, jnp.where(accept, cost_new, cost))

@@ -245,9 +245,12 @@ def make_distributed_pcg_ba(mesh: Mesh, cam, iterations: int = 8, cg_iters: int 
             new_poses = lie.se3_normalize(lie.se3_mul(lie.se3_exp(dp), poses))
             new_lms = lms + dl
             P2 = problem._replace(poses=new_poses, landmarks=new_lms)
-            *_, cost_new_loc = _linearize(P2, cam, use_huber, jnp.ones_like(problem.obs_mask))
+            *_, active2, cost_new_loc = _linearize(P2, cam, use_huber, jnp.ones_like(problem.obs_mask))
             cost_new = psum(cost_new_loc)
-            accept = cost_new < cost
+            # reject diverged steps — NaN comparisons are False, but an
+            # emptied active set collapses the cost to 0 and would win
+            n2 = psum(jnp.sum(active2).astype(cost_new.dtype))
+            accept = (cost_new < cost) & jnp.isfinite(cost_new) & (n2 > 0)
             poses = jnp.where(accept, new_poses, poses)
             lms = jnp.where(accept, new_lms, lms)
             lam = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-8), jnp.minimum(lam * 5.0, 1e4))

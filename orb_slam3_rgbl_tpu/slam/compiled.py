@@ -134,6 +134,11 @@ class TrackStepOut(NamedTuple):
     win_visible: jax.Array    # (LW,) bool — frustum-passed window slots
     n_tracked_close: jax.Array    # () i32 — KF policy scalars
     n_nontracked_close: jax.Array  # () i32
+    # everything the host control loop reads, as ONE f32 vector —
+    # [n_inl, n_mm, n_tc, n_ntc, Tcw(7), bind_prev(N), bind_win(N),
+    # win_visible(LW)] — so the per-frame host sync is a single
+    # device→host transfer (each separate fetch pays a tunnel RTT)
+    packed: jax.Array         # (4 + 7 + 2N + LW,) f32
 
 
 def _resolve_collisions(idx: jax.Array, dist: jax.Array, n_feat: int):
@@ -278,6 +283,16 @@ def make_track_step(cfg: SlamConfig, window_cap: int = 8192,
         bind_prev = jnp.where(keep1 & inl, bind1, -1)
         bind_win = jnp.where(from2 & inl, bind2, -1)
         close = feats.valid & (feats.depth > 0) & (feats.depth < th_depth_m)
+        n_tc = jnp.sum(close & inl).astype(jnp.int32)
+        n_ntc = jnp.sum(close & ~inl).astype(jnp.int32)
+        packed = jnp.concatenate([
+            jnp.stack([res2.n_inliers, res1.n_inliers, n_tc, n_ntc]
+                      ).astype(jnp.float32),
+            res2.Tcw.astype(jnp.float32),
+            bind_prev.astype(jnp.float32),
+            bind_win.astype(jnp.float32),
+            ok2.astype(jnp.float32),
+        ])
         return TrackStepOut(
             Tcw=res2.Tcw,
             n_inliers=res2.n_inliers,
@@ -288,8 +303,9 @@ def make_track_step(cfg: SlamConfig, window_cap: int = 8192,
             next_Xw=jnp.where(inl[:, None], Xw, 0.0),
             next_bound=inl,
             win_visible=ok2,
-            n_tracked_close=jnp.sum(close & inl).astype(jnp.int32),
-            n_nontracked_close=jnp.sum(close & ~inl).astype(jnp.int32),
+            n_tracked_close=n_tc,
+            n_nontracked_close=n_ntc,
+            packed=packed,
         )
 
     return fn

@@ -42,9 +42,14 @@ class FastPath:
         self.step = jax.jit(compiled.make_track_step(cfg, window_cap=window_cap,
                                                      mode=mode))
         self._sync_key = None
-        # host-side id maps for the device windows
+        # host-side id maps for the device windows; generations snapshot
+        # the landmark slots at sync time (slot recycling detection —
+        # MapState.lm_gen): a consumer holding (id, gen) drops the binding
+        # when the map's generation moved
         self.win_ids = np.zeros(0, np.int64)       # window slot → landmark id
+        self.win_gen = np.zeros(0, np.int32)       # generation at sync
         self.prev_lm_ids: Optional[np.ndarray] = None  # (N,) feature → lm id
+        self.prev_lm_gen: Optional[np.ndarray] = None  # (N,) generation
         # device arrays
         self.win_pos = jnp.zeros((window_cap, 3), jnp.float32)
         self.win_desc = jnp.zeros((window_cap, 8), jnp.uint32)
@@ -61,7 +66,8 @@ class FastPath:
     def ready(self, m: MapState, last_lm_idx: Optional[np.ndarray]) -> bool:
         return m.n_kf >= 1 and last_lm_idx is not None
 
-    def sync(self, m: MapState, ref_kf: int, last_feats, last_lm_idx: np.ndarray):
+    def sync(self, m: MapState, ref_kf: int, last_feats, last_lm_idx: np.ndarray,
+             last_lm_gen: Optional[np.ndarray] = None):
         """Refresh window + previous-frame device state iff the map
         version moved (≈ once per keyframe / mapping event)."""
         if getattr(self, "hold", False):
@@ -89,6 +95,7 @@ class FastPath:
         maxd[:n] = m.lm_max_dist[ids]
         valid[:n] = True
         self.win_ids = ids
+        self.win_gen = m.lm_gen[ids].copy()
         self.win_pos = jnp.asarray(pos)
         self.win_desc = jnp.asarray(desc)
         self.win_maxdist = jnp.asarray(maxd)
@@ -96,7 +103,12 @@ class FastPath:
 
         # --- previous frame: rebind to current landmark state ------------
         lm = np.asarray(last_lm_idx)
-        bound = (lm >= 0) & m.lm_valid[np.clip(lm, 0, None)]
+        safe = np.clip(lm, 0, None)
+        bound = (lm >= 0) & m.lm_valid[safe]
+        if last_lm_gen is not None:
+            # drop bindings whose slot was culled + recycled since the
+            # tracker captured them (lm_valid alone passes recycled slots)
+            bound &= m.lm_gen[safe] == last_lm_gen
         Xw = np.zeros((self.n_feat, 3), np.float32)
         Xw[bound] = m.lm_pos[lm[bound]]
         self.prev_uv = jnp.asarray(np.asarray(last_feats.uv, np.float32))
@@ -106,6 +118,7 @@ class FastPath:
         self.prev_Xw = jnp.asarray(Xw)
         self.prev_bound = jnp.asarray(bound)
         self.prev_lm_ids = np.where(bound, lm, -1).astype(np.int32)
+        self.prev_lm_gen = m.lm_gen[safe].copy()
         self._sync_key = (id(m), m.version)
 
     # ------------------------------------------------------------------
@@ -118,7 +131,8 @@ class FastPath:
             self.win_pos, self.win_desc, self.win_maxdist, self.win_valid,
         )
 
-    def advance(self, out: compiled.TrackStepOut, cur_lm_idx: np.ndarray):
+    def advance(self, out: compiled.TrackStepOut, cur_lm_idx: np.ndarray,
+                cur_lm_gen: Optional[np.ndarray] = None):
         """Roll the device inter-frame state forward after an accepted
         fused step (no host→device transfer — all outputs stay resident)."""
         self.prev_uv = out.feats.uv
@@ -128,3 +142,5 @@ class FastPath:
         self.prev_Xw = out.next_Xw
         self.prev_bound = out.next_bound
         self.prev_lm_ids = cur_lm_idx
+        if cur_lm_gen is not None:
+            self.prev_lm_gen = cur_lm_gen

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from orb_slam3_rgbl_tpu.config import SlamConfig
 from orb_slam3_rgbl_tpu.geometry import lie, triangulation
+from orb_slam3_rgbl_tpu.geometry import camera as cam_mod
 from orb_slam3_rgbl_tpu.ops import matching
 from orb_slam3_rgbl_tpu.optim import local_ba
 from orb_slam3_rgbl_tpu.slam.frame import inv_scale_sigma2
@@ -46,9 +47,8 @@ def _fuse_project_batch(cam, scale_factor, n_levels, poses, uvs, descs, octs,
     def one(Tcw, uv, desc, octv, fvalid, valid):
         pc = lie.se3_apply(Tcw[None, :], P)
         z = pc[:, 2]
-        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-        u = cam.fx * pc[:, 0] / zs + cam.cx
-        v = cam.fy * pc[:, 1] / zs + cam.cy
+        uvp = cam_mod.geo_project(cam, pc)
+        u, v = uvp[:, 0], uvp[:, 1]
         ok = Pvalid & valid & (z > 0.1)
         ok &= (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
         center = lie.se3_trans(lie.se3_inv(Tcw))
@@ -75,30 +75,36 @@ def _triangulate_batch(cam, scale_factor, T1, uv1, desc1, ang1, oct1, unbound1,
 
     Returns (idx (NB, N) best neighbor feature per current feature or −1,
     ok (NB, N) acceptance, X (NB, N, 3) triangulated points)."""
-    K = cam.K
+    K = None if cam_mod.is_fisheye(cam) else cam.K
     N = uv1.shape[0]
 
     def dirs(uv):
-        x = (uv[..., 0] - cam.cx) / cam.fx
-        y = (uv[..., 1] - cam.cy) / cam.fy
-        return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+        return cam_mod.geo_unproject(cam, uv)
 
     def reproj_ok(X, Tcw, uv, octv):
         pc = lie.se3_apply(Tcw[None, :], X)
         z = pc[:, 2]
-        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-        u = cam.fx * pc[:, 0] / zs + cam.cx
-        v = cam.fy * pc[:, 1] / zs + cam.cy
-        err2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+        uvp = cam_mod.geo_project(cam, pc)
+        err2 = jnp.sum((uvp - uv) ** 2, axis=-1)
         sigma2 = scale_factor ** (2.0 * octv.astype(jnp.float32))
         return (z > 0.1) & (err2 < 5.991 * sigma2)
 
     def one(T2, uv2, desc2, ang2, oct2, unbound2, valid):
         d = matching.distance_table(desc1, desc2, unbound1, unbound2 & valid)
-        F12 = triangulation.fundamental_from_poses(K, K, T1, T2)
-        ep = triangulation.epipolar_distance_sq(
-            F12, uv1[:, None, :], uv2[None, :, :])
         sigma2 = scale_factor ** (2.0 * oct2.astype(jnp.float32))
+        if cam_mod.is_fisheye(cam):
+            # fisheye epipolar lines are curves in pixel space — gate on
+            # bearings with the essential matrix instead (reference
+            # KannalaBrandt8::epipolarConstrain works bearing-side too)
+            E12 = triangulation.essential_from_poses(T1, T2)
+            b1 = dirs(uv1)
+            b2 = dirs(uv2)
+            ep = triangulation.bearing_sampson_sq(
+                E12, b1[:, None, :], b2[None, :, :], cam.fx)
+        else:
+            F12 = triangulation.fundamental_from_poses(K, K, T1, T2)
+            ep = triangulation.epipolar_distance_sq(
+                F12, uv1[:, None, :], uv2[None, :, :])
         d = jnp.where(ep < 3.84 * sigma2[None, :], d, 256.0)
         idx, _ = matching.mutual_best_match(
             d, ang1, ang2, th=matching.TH_LOW, ratio=0.8, check_rotation=True)
@@ -124,6 +130,7 @@ class LocalMapper:
     def __init__(self, config: SlamConfig, map_state: MapState):
         self.cfg = config
         self.cam = config.camera
+        self.geo_cam = config.geo_camera  # residual/projection camera model
         self.map = map_state
         self.inv_sigma2 = np.asarray(inv_scale_sigma2(config.orb.n_levels, config.orb.scale_factor))
         self.recent_lm: list = []   # (lm_ids, created_at_kf) for culling
@@ -183,12 +190,13 @@ class LocalMapper:
         Pmaxd[:n] = m.lm_max_dist[lm_ids]
         Pvalid[:n] = True
 
+        from orb_slam3_rgbl_tpu.geometry.camera import np_geo_project
+
         Tcw = jnp.asarray(m.kf_pose[kf])
         pc = np.asarray(lie.se3_apply(Tcw, jnp.asarray(P)))
         z = pc[:, 2]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = self.cam.fx * pc[:, 0] / z + self.cam.cx
-            v = self.cam.fy * pc[:, 1] / z + self.cam.cy
+        proj = np_geo_project(self.geo_cam, pc)
+        u, v = proj[:, 0], proj[:, 1]
         in_img = (u >= 0) & (u < self.cam.width) & (v >= 0) & (v < self.cam.height)
         Pvalid &= (z > 0.1) & np.nan_to_num(in_img, nan=False)
         # predicted octave from the scale-invariance band (PredictScale)
@@ -200,7 +208,7 @@ class LocalMapper:
                        0, self.cfg.orb.n_levels - 1).astype(np.int32)
         radius = (th * sf ** Poct).astype(np.float32)
 
-        proj_uv = np.stack([np.nan_to_num(u), np.nan_to_num(v)], 1).astype(np.float32)
+        proj_uv = proj.astype(np.float32)
         idx, d = matching.windowed_projection_match(
             jnp.asarray(proj_uv), jnp.asarray(Pvalid), jnp.asarray(Pdesc),
             jnp.asarray(Poct), jnp.asarray(m.kf_uv[kf]),
@@ -230,8 +238,13 @@ class LocalMapper:
         src = lm_ids[win_p]
         tgt = m.kf_lm_idx[kf, win_f]
         n_ops = 0
-        # unbound features → new observation of the projected landmark
-        free = tgt < 0
+        # unbound features → new observation of the projected landmark;
+        # a landmark already observed at ANOTHER slot of this keyframe
+        # must not bind twice (reference Fuse checks MapPoint::IsInKeyFrame)
+        row = m.kf_lm_idx[kf]
+        present = np.zeros(m.capacity_lm, bool)
+        present[row[row >= 0]] = True
+        free = (tgt < 0) & ~present[src]
         if free.any():
             m.kf_lm_idx[kf, win_f[free]] = src[free]
             n_ops += int(free.sum())
@@ -306,7 +319,7 @@ class LocalMapper:
             tvalid = np.zeros(TB, bool)
             tvalid[: len(tg)] = True
             idx_b, dist_b = jax.device_get(_fuse_project_batch(
-                self.cam, float(self.cfg.orb.scale_factor),
+                self.geo_cam, float(self.cfg.orb.scale_factor),
                 self.cfg.orb.n_levels,
                 jnp.asarray(padt(m.kf_pose[tg])), jnp.asarray(padt(m.kf_uv[tg])),
                 jnp.asarray(padt(m.kf_desc[tg])),
@@ -334,16 +347,6 @@ class LocalMapper:
                 remap = nxt
             bound = m.kf_lm_idx >= 0
             m.kf_lm_idx[bound] = remap[m.kf_lm_idx[bound]]
-            # a keyframe may now bind the merged landmark at two feature
-            # slots — keep one observation per (KF, landmark)
-            valid_kfs = m.valid_kf_ids()
-            tbl = m.kf_lm_idx[valid_kfs]
-            order = np.argsort(tbl, axis=1, kind="stable")
-            st = np.take_along_axis(tbl, order, 1)
-            dup = (st[:, 1:] == st[:, :-1]) & (st[:, 1:] >= 0)
-            if dup.any():
-                rows, cols = np.nonzero(dup)
-                m.kf_lm_idx[valid_kfs[rows], order[rows, cols + 1]] = -1
             losers = np.nonzero(remap != np.arange(m.capacity_lm, dtype=np.int32))[0]
             winners = remap[losers]
             # Replace merges the visibility statistics (MapPoint::Replace)
@@ -353,6 +356,12 @@ class LocalMapper:
             m.lm_gen[losers] += 1
             m.lm_free.extend(int(i) for i in losers)
         if n_ops:
+            # a keyframe may now bind one landmark at two feature slots
+            # (Replace remap collisions) — restore the one-obs-per-pair
+            # invariant after EVERY fusion pass, not only on Replace
+            from orb_slam3_rgbl_tpu.slam.map_state import dedup_kf_bindings
+
+            dedup_kf_bindings(m)
             # refresh distinctive descriptors / normals / depth bands of
             # everything touched (reference updates per fused point)
             m.update_landmark_stats(np.concatenate([[kf_id], np.asarray(targets)]))
@@ -447,7 +456,7 @@ class LocalMapper:
         if not pair_valid.any():
             return
         out = _triangulate_batch(
-            self.cam, float(self.cfg.orb.scale_factor),
+            self.geo_cam, float(self.cfg.orb.scale_factor),
             jnp.asarray(m.kf_pose[kf_id]), jnp.asarray(uv1),
             jnp.asarray(m.kf_desc[kf_id]), jnp.asarray(m.kf_angle[kf_id]),
             jnp.asarray(m.kf_octave[kf_id].astype(np.int32)),
@@ -495,18 +504,18 @@ class LocalMapper:
             self.recent_lm.append((np.concatenate(created_all), self.map.n_kf))
 
     def _unproject_dirs(self, uv: np.ndarray) -> jnp.ndarray:
-        x = (uv[:, 0] - self.cam.cx) / self.cam.fx
-        y = (uv[:, 1] - self.cam.cy) / self.cam.fy
-        return jnp.asarray(np.stack([x, y, np.ones_like(x)], axis=1).astype(np.float32))
+        from orb_slam3_rgbl_tpu.geometry.camera import np_geo_unproject
+
+        return jnp.asarray(np_geo_unproject(self.geo_cam, uv).astype(np.float32))
 
     def _reproj_ok(self, X, Tcw, uv, octave, chi2=5.991):
+        from orb_slam3_rgbl_tpu.geometry.camera import np_geo_project
+
         Tcw = np.asarray(Tcw, np.float32)
         pc = lie.np_quat_rotate(Tcw[:4], X.astype(np.float32)) + Tcw[4:7]
         z = pc[:, 2]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = self.cam.fx * pc[:, 0] / z + self.cam.cx
-            v = self.cam.fy * pc[:, 1] / z + self.cam.cy
-        err2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+        proj = np_geo_project(self.geo_cam, pc)
+        err2 = (proj[:, 0] - uv[:, 0]) ** 2 + (proj[:, 1] - uv[:, 1]) ** 2
         sigma2 = 1.2 ** (2 * octave.astype(np.float32))
         return (z > 0.1) & np.nan_to_num(err2 < chi2 * sigma2, nan=False)
 
@@ -603,7 +612,7 @@ class LocalMapper:
             obs_inv_sigma2=jnp.asarray(pad_obs(inv_s2)),
             obs_mask=jnp.asarray(pad_obs(obs_mask)),
         )
-        res = local_ba.bundle_adjust(problem, self.cam, iterations=iterations)
+        res = local_ba.bundle_adjust(problem, self.geo_cam, iterations=iterations)
 
         # writeback (the reference takes mMutexMapUpdate; here it is just
         # array stores bumping the version)
@@ -641,8 +650,21 @@ class LocalMapper:
         m = self.map
         T_bc, T_cb = self._vi_extrinsics()
         K = len(chain)
+        # state-count tiers (powers of two, floor 16): whole-map
+        # FullInertialBA chains vary per call — padding + state_valid
+        # masking keeps the jit shape set O(log K) instead of O(calls)
+        from orb_slam3_rgbl_tpu.slam.ba_assembly import _tier
+
+        Kp = _tier(K, 16)
         T_bw = lie.np_se3_mul(np.tile(T_bc, (K, 1)), m.kf_pose[chain])
-        Twb = lie.np_se3_inv(T_bw)
+        Twb_real = lie.np_se3_inv(T_bw)
+        Twb = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (Kp, 1))
+        Twb[:K] = Twb_real
+
+        def pads(a, fill=0):
+            out = np.full((Kp,) + a.shape[1:], fill, a.dtype)
+            out[:K] = a
+            return out
 
         # landmarks seen by the optimizable states
         opt_kfs = chain[n_fixed:]
@@ -685,15 +707,32 @@ class LocalMapper:
         info_bg = 1.0 / np.maximum(icfg.gyro_walk ** 2 * dts, 1e-12)
         info_ba = 1.0 / np.maximum(icfg.acc_walk ** 2 * dts, 1e-12)
 
-        fixed = np.zeros(K, bool)
+        fixed = np.zeros(Kp, bool)
         fixed[:n_fixed] = True
-        if not fixed.any():
+        fixed[K:] = True          # padded states are inert
+        if not fixed[:K].any():
             fixed[0] = True
+        state_valid = np.zeros(Kp, bool)
+        state_valid[:K] = True
+
+        # pad the pair-factor axis (invalid pads use the zero preint)
+        n_pairs = len(pair_i)
+        for a in range(n_pairs, Kp - 1):
+            pair_i.append(0)
+            pair_j.append(min(1, Kp - 1))
+            pv.append(False)
+            preints.append(preints[-1] if preints else None)
+        if preints and preints[0] is not None:
+            meas = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *preints)
+        dts = np.maximum(np.asarray(meas.dt), 1e-3)
+        info_bg = 1.0 / np.maximum(icfg.gyro_walk ** 2 * dts, 1e-12)
+        info_ba = 1.0 / np.maximum(icfg.acc_walk ** 2 * dts, 1e-12)
 
         problem = viba.VIBAProblem(
-            Twb=jnp.asarray(Twb), vel=jnp.asarray(m.kf_vel[chain]),
-            bg=jnp.asarray(m.kf_bg[chain]), ba=jnp.asarray(m.kf_ba[chain]),
-            state_fixed=jnp.asarray(fixed), state_valid=jnp.ones(K, bool),
+            Twb=jnp.asarray(Twb), vel=jnp.asarray(pads(m.kf_vel[chain])),
+            bg=jnp.asarray(pads(m.kf_bg[chain])),
+            ba=jnp.asarray(pads(m.kf_ba[chain])),
+            state_fixed=jnp.asarray(fixed), state_valid=jnp.asarray(state_valid),
             T_cb=jnp.asarray(T_cb),
             landmarks=jnp.asarray(padm(m.lm_pos[lm_ids])),
             lm_valid=jnp.asarray(lm_valid),
@@ -735,37 +774,43 @@ class LocalMapper:
         n_fixed = max(len(chain) - self.VI_OPT_WINDOW, 1)
         problem, lm_ids, (obs_kf, obs_feat, obs_mask) = self._build_vi_problem(
             chain, n_fixed)
-        res = viba.vi_bundle_adjust(problem, self.cam, iterations=iterations)
+        res = viba.vi_bundle_adjust(problem, self.geo_cam, iterations=iterations)
         self._vi_writeback(chain, n_fixed, lm_ids, res,
                            obs_kf, obs_feat, obs_mask)
 
     def full_inertial_ba(self, kf_id: int, iterations: int = 10,
-                         max_states: int = 24):
-        """``Optimizer::FullInertialBA`` (reference Optimizer.cc:392; run
-        by the VIBA refinement schedule and post-loop GBA): the same joint
-        solve over the whole temporal chain (capped — older states anchor)."""
+                         max_states: int = 256):
+        """``Optimizer::FullInertialBA`` (reference Optimizer.cc:392 runs
+        the WHOLE map; here the whole temporal chain up to ``max_states``
+        — state-count tiers keep the jit shape set small, and chains
+        beyond the cap anchor on their oldest retained state, logged)."""
         chain = self._temporal_chain(kf_id, max_states)
+        if len(chain) == max_states:
+            from orb_slam3_rgbl_tpu.utils.logging import log
+
+            log("FullInertialBA: temporal chain hit the %d-state cap — "
+                "older states anchor" % max_states)
         if len(chain) < 4:
             return
         from orb_slam3_rgbl_tpu.optim import inertial_ba as viba
 
         problem, lm_ids, obs = self._build_vi_problem(chain, n_fixed=1)
-        res = viba.vi_bundle_adjust(problem, self.cam, iterations=iterations)
+        res = viba.vi_bundle_adjust(problem, self.geo_cam, iterations=iterations)
         self._vi_writeback(chain, 1, lm_ids, res, *obs)
 
     def _vi_writeback(self, chain, n_fixed, lm_ids, res,
                       obs_kf, obs_feat, obs_mask):
         m = self.map
         _, T_cb = self._vi_extrinsics()
-        Twb = np.asarray(res.Twb, np.float32)
         K = len(chain)
+        Twb = np.asarray(res.Twb, np.float32)[:K]   # drop tier padding
         Tcw = lie.np_se3_mul(np.tile(np.asarray(T_cb, np.float32), (K, 1)),
                              lie.np_se3_inv(Twb))
         upd = chain[n_fixed:]
         m.kf_pose[upd] = Tcw[n_fixed:]
-        m.kf_vel[upd] = np.asarray(res.vel, np.float32)[n_fixed:]
-        m.kf_bg[upd] = np.asarray(res.bg, np.float32)[n_fixed:]
-        m.kf_ba[upd] = np.asarray(res.ba, np.float32)[n_fixed:]
+        m.kf_vel[upd] = np.asarray(res.vel, np.float32)[n_fixed:K]
+        m.kf_bg[upd] = np.asarray(res.bg, np.float32)[n_fixed:K]
+        m.kf_ba[upd] = np.asarray(res.ba, np.float32)[n_fixed:K]
         if lm_ids.size:
             m.lm_pos[lm_ids] = np.asarray(res.landmarks, np.float32)[: lm_ids.size]
         inl = np.asarray(res.obs_inlier)[: lm_ids.size]

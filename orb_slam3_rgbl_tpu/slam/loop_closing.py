@@ -63,6 +63,10 @@ class LoopCloser:
         # graph (reference KeyFrame::mLoopEdges / mMergeEdges)
         self.extra_edges: list = []   # (kf_a, kf_b, S_ab (8,), weight)
         self.run_gba = run_gba
+        # wired by System when the async mapping plane is on: schedules
+        # the post-loop GBA as its own abortable job (the reference's
+        # transient GBA thread, LoopClosing.cc:1206); None → synchronous
+        self.gba_dispatch = None
         self._key = jax.random.PRNGKey(7)
 
     # ------------------------------------------------------------------
@@ -116,7 +120,10 @@ class LoopCloser:
                 if group & pg:
                     count = max(count, pc + 1)
             new_groups.append((group, count))
-            if count + 1 >= self.consistency_th:
+            # accept on count ≥ th: count here IS nCurrentConsistency
+            # (prev + 1), matching the reference's accumulation exactly —
+            # a candidate needs th+1 consecutive detecting keyframes
+            if count >= self.consistency_th:
                 consistent.append(cand)
         self._consistent_groups = new_groups
         for cand in consistent:
@@ -354,9 +361,14 @@ class LoopCloser:
             win_p, win_f = order[first], feats_of[first]
             src = loop_lms[win_p]
             tgt = m.kf_lm_idx[k, win_f]
-            free = tgt < 0
+            # a landmark already bound at another slot of this keyframe
+            # must not bind twice (reference Fuse: MapPoint::IsInKeyFrame)
+            row = m.kf_lm_idx[k]
+            present = np.zeros(m.capacity_lm, bool)
+            present[row[row >= 0]] = True
+            free = (tgt < 0) & ~present[src]
             m.kf_lm_idx[k, win_f[free]] = src[free]
-            dup = (~free) & (tgt != src)
+            dup = (tgt >= 0) & (tgt != src)
             if dup.any():
                 a, b = src[dup], tgt[dup]
                 # loop-side (older) landmark wins ties (reference Replace
@@ -382,6 +394,11 @@ class LoopCloser:
             m.lm_valid[losers] = False
             m.lm_gen[losers] += 1
             m.lm_free.extend(int(i) for i in losers)
+        # restore the one-observation-per-(KF, landmark) invariant after
+        # every fusion pass (Replace collisions can alias two slots)
+        from orb_slam3_rgbl_tpu.slam.map_state import dedup_kf_bindings
+
+        dedup_kf_bindings(m)
 
     def _essential_edges(self, valid, slot, ev: LoopEvent):
         """Essential-graph edge set (reference ``OptimizeEssentialGraph``
@@ -485,7 +502,11 @@ class LoopCloser:
         # landmark correction via reference keyframes: X ← S_ref_new⁻¹ · S_ref_old · X
         lm_ids = np.nonzero(m.lm_valid)[0]
         ref = m.lm_ref_kf[lm_ids]
-        ref_slot = np.array([slot.get(int(r), 0) for r in ref], np.int64)
+        # a landmark whose reference KF was culled re-anchors through the
+        # cull-redirect chain to a surviving observer (slot-0 fallback
+        # would correct it with an unrelated keyframe's transform)
+        ref_slot = np.array([slot.get(m.live_ref_kf(int(r)), 0) for r in ref],
+                            np.int64)
         S_old = jnp.asarray(old_nodes[ref_slot])
         S_new = jnp.asarray(new_nodes[ref_slot])
         X = jnp.asarray(m.lm_pos[lm_ids])
@@ -508,22 +529,96 @@ class LoopCloser:
         # global BA after the correction (reference launches the GBA
         # thread at LoopClosing.cc:1206 when the map holds < 200 KFs)
         if self.run_gba and m.n_kf < 200:
-            self._global_ba()
+            if self.gba_dispatch is not None:
+                self.gba_dispatch()
+            else:
+                self._global_ba()
 
-    def _global_ba(self, iterations: int = 6):
+    def _global_ba(self, iterations: int = 6, abort_event=None):
+        out = self._global_ba_solve(iterations, abort_event)
+        if out is not None:
+            self._apply_gba(out)
+
+    def _global_ba_solve(self, iterations: int = 6, abort_event=None,
+                         chunk: int = 2):
+        """Whole-map BA solve in abortable chunks (the reference GBA
+        thread polls ``mbStopGBA`` between g2o iterations,
+        LoopClosing.cc:2268-2330). The solve runs on a SNAPSHOT of the
+        map assembled here; writeback + propagation to keyframes created
+        mid-solve happens in :meth:`_apply_gba`. Returns None if aborted."""
         from orb_slam3_rgbl_tpu.optim import global_ba
         from orb_slam3_rgbl_tpu.slam import ba_assembly
         from orb_slam3_rgbl_tpu.slam.frame import inv_scale_sigma2
 
+        m = self.map
         inv_s2 = np.asarray(inv_scale_sigma2(self.cfg.orb.n_levels, self.cfg.orb.scale_factor))
         problem, window, lm_ids, obs_kf, obs_feat = ba_assembly.build_full_problem(
-            self.map, inv_s2
+            m, inv_s2
         )
-        res = global_ba.global_bundle_adjust(problem, self.cam, iterations=iterations)
-        ba_assembly.writeback(
-            self.map, window, lm_ids, obs_kf, obs_feat,
-            res.poses, res.landmarks,
-        )
+        pose_before = m.kf_pose.copy()       # staging (mTcwBefGBA analog)
+        lm_gen_before = m.lm_gen[lm_ids].copy()
+        poses, lms = problem.poses, problem.landmarks
+        res = None
+        it = 0
+        while it < iterations:
+            if abort_event is not None and abort_event.is_set():
+                return None
+            n = min(chunk, iterations - it)
+            res = global_ba.global_bundle_adjust(
+                problem._replace(poses=poses, landmarks=lms), self.cam,
+                iterations=n)
+            poses, lms = res.poses, res.landmarks
+            it += n
+        return (window, lm_ids, res, pose_before, lm_gen_before)
+
+    def _apply_gba(self, out):
+        """Staged GBA writeback + correction propagation (reference
+        ``RunGlobalBundleAdjustment`` tail, LoopClosing.cc:2337-2440):
+        keyframes/landmarks created while the solve ran are corrected
+        through their anchor keyframe (spanning-tree-child propagation
+        analog); landmarks culled+recycled mid-solve are left alone
+        (generation check)."""
+        window, lm_ids, res, pose_before, lm_gen_before = out
+        m = self.map
+        new_poses = np.asarray(res.poses, np.float32)[: len(window)]
+        new_lms = np.asarray(res.landmarks, np.float32)[: len(lm_ids)]
+        in_window = np.zeros(m.capacity_kf, bool)
+        in_window[window] = True
+        in_solve = np.zeros(m.capacity_lm, bool)
+        still = m.lm_gen[lm_ids] == lm_gen_before
+        in_solve[lm_ids[still]] = True
+
+        before_all = m.kf_pose.copy()
+        fresh_kfs = [int(k) for k in m.valid_kf_ids() if not in_window[k]]
+        m.kf_pose[window] = new_poses
+        ok = still & m.lm_valid[lm_ids]
+        m.lm_pos[lm_ids[ok]] = new_lms[ok]
+
+        # keyframes created during the solve: T_k ← (T_k ∘ T_a⁻¹) ∘ T_a'
+        # with anchor a = the most covisible solved keyframe
+        for k in fresh_kfs:
+            w = m.covisibility_weights(k)
+            w[~in_window] = 0
+            anchor = int(np.argmax(w))
+            if w[anchor] == 0:
+                anchor = int(window[-1])
+            T_rel = lie.np_se3_mul(before_all[k], lie.np_se3_inv(before_all[anchor]))
+            m.kf_pose[k] = lie.np_se3_mul(T_rel, m.kf_pose[anchor])
+
+        # landmarks created during the solve: re-anchor through their
+        # reference keyframe's before/after poses
+        fresh_lm = np.nonzero(m.lm_valid & ~in_solve)[0]
+        if fresh_lm.size:
+            ref = np.asarray([m.live_ref_kf(int(r)) for r in m.lm_ref_kf[fresh_lm]],
+                             np.int64)
+            Tcw_old = jnp.asarray(before_all[ref])
+            Tcw_new = jnp.asarray(m.kf_pose[ref])
+            X = jnp.asarray(m.lm_pos[fresh_lm])
+            Xc = lie.se3_apply(Tcw_old, X)
+            # per-row inverse transform: X' = R_newᵀ (Xc − t_new)
+            X_new = lie.se3_apply(lie.se3_inv(Tcw_new), Xc)
+            m.lm_pos[fresh_lm] = np.asarray(X_new, np.float32)
+        m.version += 1
 
     def _fuse(self, cur_lms: np.ndarray, old_lms: np.ndarray):
         """Replace each current-side landmark with its loop-matched older
@@ -538,3 +633,6 @@ class LoopCloser:
         m.lm_valid[losers] = False
         m.lm_gen[losers] += 1
         m.lm_free.extend(int(i) for i in losers)
+        from orb_slam3_rgbl_tpu.slam.map_state import dedup_kf_bindings
+
+        dedup_kf_bindings(m)

@@ -77,6 +77,13 @@ class MapState:
     # recycled landmark slots (LIFO). Slot reuse is guarded by lm_gen:
     # consumers holding stale ids compare their remembered generation.
     lm_free: list = dataclasses.field(default_factory=list)
+    # culled keyframe → (parent_id, T_culled_parent at cull time): the
+    # spanning-tree-parent analog (reference KeyFrame::SetBadFlag stores
+    # mTcp = Tcw · parent.Twc; SaveTrajectoryKITTI walks GetParent()
+    # while the reference KF is bad, System.cc:1348-1405) — trajectory
+    # frames and landmarks anchored to culled KFs keep moving with
+    # loop/GBA corrections of the surviving parent.
+    kf_redirect: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         # synthesize arrays absent from older archives
@@ -290,9 +297,12 @@ class MapState:
           max_obs: D — cap of observations per landmark inside the window.
 
         Returns (obs_kf_local (Mw, D), obs_feat (Mw, D), obs_mask,
-        obs_uv (Mw, D, 2), obs_ur (Mw, D)). Observations beyond D per
-        landmark are dropped; the count is recorded in
-        ``self.last_dropped_obs`` so callers can log it (no silent caps).
+        obs_uv (Mw, D, 2), obs_ur (Mw, D)). A landmark with more than D
+        observations keeps an EVENLY-STRIDED sample of its observer list
+        (keep-first-D starved the later window keyframes of constraints —
+        measured 5× worse pose error at KITTI-00 covisibility density);
+        the dropped count is recorded in ``self.last_dropped_obs`` so
+        callers can log it (no silent caps).
         """
         Kw, Mw, D = len(kf_ids), len(lm_ids), max_obs
         self.last_dropped_obs = 0
@@ -304,24 +314,39 @@ class MapState:
         obs_mask = np.zeros((Mw, D), bool)
         obs_uv = np.zeros((Mw, D, 2), np.float32)
         obs_ur = np.full((Mw, D), -1.0, np.float32)
-        fill = np.zeros(Mw, np.int32)
 
-        for local_k, k in enumerate(kf_ids):
+        # pass 1: total observations per landmark inside the window
+        total = np.zeros(Mw, np.int64)
+        per_kf = []
+        for k in kf_ids:
             rows = self.kf_lm_idx[k]
             feat_idx = np.nonzero(rows >= 0)[0]
             slots = lm_slot[rows[feat_idx]]
             sel = slots >= 0
             feat_idx, slots = feat_idx[sel], slots[sel]
-            d = fill[slots]
-            ok = d < D
-            self.last_dropped_obs += int((~ok).sum())
-            feat_idx, slots, d = feat_idx[ok], slots[ok], d[ok]
-            obs_kf[slots, d] = local_k
-            obs_feat[slots, d] = feat_idx
-            obs_mask[slots, d] = True
-            obs_uv[slots, d] = self.kf_uv[k, feat_idx]
-            obs_ur[slots, d] = self.kf_ur[k, feat_idx]
-            fill[slots] = d + 1
+            per_kf.append((feat_idx, slots))
+            np.add.at(total, slots, 1)
+        self.last_dropped_obs = int(np.maximum(total - D, 0).sum())
+
+        # pass 2: fill with even-stride decimation — arrival j of T total
+        # lands at d = j·D//T, kept iff d advanced (exactly min(T, D) kept,
+        # spread across the whole observer list)
+        arrival = np.zeros(Mw, np.int64)
+        T_clip = np.maximum(total, 1)
+        for local_k, (feat_idx, slots) in enumerate(per_kf):
+            j = arrival[slots]
+            T = T_clip[slots]
+            d = np.where(T <= D, j, (j * D) // T)
+            d_prev = np.where(T <= D, j - 1, ((j - 1) * D) // T)
+            keep = (j == 0) | (d != d_prev)
+            arrival[slots] = j + 1
+            feat_k, slots_k, d_k = feat_idx[keep], slots[keep], d[keep]
+            k = kf_ids[local_k]
+            obs_kf[slots_k, d_k] = local_k
+            obs_feat[slots_k, d_k] = feat_k
+            obs_mask[slots_k, d_k] = True
+            obs_uv[slots_k, d_k] = self.kf_uv[k, feat_k]
+            obs_ur[slots_k, d_k] = self.kf_ur[k, feat_k]
         return obs_kf, obs_feat, obs_mask, obs_uv, obs_ur
 
     # --- landmark maintenance ----------------------------------------------
@@ -355,11 +380,59 @@ class MapState:
 
     def remove_keyframe(self, kf_id: int):
         """KeyFrame culling: drop the KF and its bindings (landmarks keep
-        other observations; observation counts recompute lazily)."""
+        other observations; observation counts recompute lazily).
+
+        Before the bindings vanish, the most covisible surviving keyframe
+        is recorded as the cull parent (``kf_redirect``) and landmarks
+        referencing this KF re-anchor to it — reference
+        ``KeyFrame::SetBadFlag`` re-parents children and stores ``mTcp``."""
+        w = self.covisibility_weights(kf_id)
+        w[kf_id] = 0
+        parent = int(np.argmax(w))
+        if w[parent] == 0:
+            # isolated keyframe: fall back to the nearest surviving id
+            live = self.valid_kf_ids()
+            live = live[live != kf_id]
+            parent = int(live[np.argmin(np.abs(live - kf_id))]) if live.size else kf_id
+        if parent != kf_id:
+            T_kp = lie.np_se3_mul(self.kf_pose[kf_id],
+                                  lie.np_se3_inv(self.kf_pose[parent]))
+            self.kf_redirect[int(kf_id)] = (parent, np.asarray(T_kp, np.float32))
+            orphans = self.lm_ref_kf == kf_id
+            self.lm_ref_kf[orphans] = parent
         self.kf_valid[kf_id] = False
         self.kf_lm_idx[kf_id] = INVALID
         self.kf_feat_valid[kf_id] = False
         self.version += 1
+
+    def live_ref_kf(self, k: int) -> int:
+        """Walk cull redirects until a valid keyframe (the reference's
+        ``while(pKF->isBad()) pKF = pKF->GetParent()``)."""
+        seen = 0
+        while not self.kf_valid[k] and seen < 64:
+            entry = self.kf_redirect.get(int(k))
+            if entry is None:
+                break
+            k = entry[0]
+            seen += 1
+        return int(k)
+
+    def effective_kf_pose(self, k: int) -> np.ndarray:
+        """Tcw of keyframe ``k``, composing cull redirects so culled KFs
+        inherit every later loop/GBA correction through their parent
+        (``SaveTrajectoryKITTI`` accumulates Trw = Trw · mTcp · parentTcw)."""
+        T_acc = None
+        seen = 0
+        while not self.kf_valid[k] and seen < 64:
+            entry = self.kf_redirect.get(int(k))
+            if entry is None:
+                break
+            p, T_kp = entry
+            T_acc = T_kp if T_acc is None else lie.np_se3_mul(T_acc, T_kp)
+            k = p
+            seen += 1
+        pose = self.kf_pose[k]
+        return pose if T_acc is None else lie.np_se3_mul(T_acc, pose)
 
     def update_landmark_stats(self, kf_ids: np.ndarray):
         """Refresh distinctive descriptors + normals + depth bands for
@@ -410,6 +483,24 @@ class MapState:
         sf = 1.2 ** oct0.astype(np.float32)
         self.lm_max_dist[lm_set] = d_ref * sf
         self.lm_min_dist[lm_set] = self.lm_max_dist[lm_set] / (1.2 ** 7)
+
+
+def dedup_kf_bindings(m: MapState):
+    """Enforce one observation per (keyframe, landmark): after a Replace
+    remap or projection-fusion binding, a keyframe may reference the same
+    landmark at two feature slots (the invariant
+    :func:`check_binding_consistency` checks; reference ``Fuse`` guards
+    it via ``MapPoint::IsInKeyFrame``). Keeps the first slot per pair."""
+    valid_kfs = m.valid_kf_ids()
+    if valid_kfs.size == 0:
+        return
+    tbl = m.kf_lm_idx[valid_kfs]
+    order = np.argsort(tbl, axis=1, kind="stable")
+    st = np.take_along_axis(tbl, order, 1)
+    dup = (st[:, 1:] == st[:, :-1]) & (st[:, 1:] >= 0)
+    if dup.any():
+        rows, cols = np.nonzero(dup)
+        m.kf_lm_idx[valid_kfs[rows], order[rows, cols + 1]] = INVALID
 
 
 def debug_reprojection_error(m: MapState, cam) -> dict:

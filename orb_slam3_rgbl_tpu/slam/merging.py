@@ -155,6 +155,7 @@ def _grow_map(m: MapState, need_kf: int, need_lm: int) -> MapState:
         m.kf_ur = pad(m.kf_ur, gk, fill=-1.0)
         m.kf_feat_valid = pad(m.kf_feat_valid, gk)
         m.kf_lm_idx = pad(m.kf_lm_idx, gk, fill=INVALID)
+        m.kf_angle = pad(m.kf_angle, gk)
         m.kf_vel = pad(m.kf_vel, gk)
         m.kf_bg = pad(m.kf_bg, gk)
         m.kf_ba = pad(m.kf_ba, gk)
@@ -170,6 +171,7 @@ def _grow_map(m: MapState, need_kf: int, need_lm: int) -> MapState:
         m.lm_first_kf = pad(m.lm_first_kf, gl, fill=INVALID)
         m.lm_visible = pad(m.lm_visible, gl)
         m.lm_found = pad(m.lm_found, gl)
+        m.lm_gen = pad(m.lm_gen, gl)
     return m
 
 
@@ -223,6 +225,7 @@ def merge_maps(old: MapState, active: MapState, ev_kf_cur: int,
     uu = active.kf_uv[kfs][..., 0]
     old.kf_ur[new_kf_ids] = np.where((ur >= 0) & (d > 0), uu - (uu - ur) / s, -1.0)
     old.kf_feat_valid[new_kf_ids] = active.kf_feat_valid[kfs]
+    old.kf_angle[new_kf_ids] = active.kf_angle[kfs]
     tbl = active.kf_lm_idx[kfs]
     old.kf_lm_idx[new_kf_ids] = np.where(tbl >= 0, lm_remap[np.clip(tbl, 0, None)], INVALID)
     # inertial chain: velocities rotate + rescale into w2 units; the
@@ -272,6 +275,9 @@ def apply_fusion(m: MapState, cur_lms: np.ndarray, old_lms: np.ndarray) -> np.nd
     remap[cur_lms[keep]] = old_lms[keep]
     bound = m.kf_lm_idx >= 0
     m.kf_lm_idx[bound] = remap[m.kf_lm_idx[bound]]
-    m.lm_valid[cur_lms[keep]] = False
+    losers = np.unique(cur_lms[keep])
+    m.lm_valid[losers] = False
+    m.lm_gen[losers] += 1
+    m.lm_free.extend(int(i) for i in losers)
     m.version += 1
     return remap

@@ -89,6 +89,14 @@ class System:
         self.async_mapping = False
         self._map_exec = None
         self._map_future = None
+        # the transient GBA job (reference LoopClosing.cc:1206 spawns a
+        # thread; a new correction aborts a running solve via mbStopGBA)
+        self._gba_exec = None
+        self._gba_future = None
+        self._gba_abort = None
+        import threading
+
+        self._gba_lock = threading.Lock()
         self.P_lidar = jnp.asarray(
             depth_ops.lidar_projection_matrix(
                 np.asarray(self.cam.K), np.asarray(config.lidar.T_velo_cam)
@@ -109,16 +117,20 @@ class System:
 
     CLOUD_CAP = 131072  # fixed LiDAR capacity (shape-stable jit; KITTI ~120k)
 
-    def _pad_cloud(self, pointcloud):
+    def _pad_cloud(self, pointcloud, cloud_mask=None):
         """(Np, 3|4) → fixed (CLOUD_CAP, 4) + validity mask. Truncates
         over-capacity clouds (KITTI peaks ~130k — the tail is far-range
         returns the min/max-dist gate would reject anyway).
 
         A device array already at capacity passes through untouched (the
         bench pre-stages frames on device; downloading it to re-pad would
-        defeat the zero-transfer loop)."""
+        defeat the zero-transfer loop). An explicit ``cloud_mask`` (the
+        KITTI loaders' padded-cloud validity) is folded into the returned
+        mask so the driver path lands on the same fused program."""
         if (isinstance(pointcloud, jnp.ndarray)
                 and pointcloud.shape == (self.CLOUD_CAP, 4)):
+            if cloud_mask is not None:
+                return pointcloud, jnp.asarray(cloud_mask)
             if not hasattr(self, "_cloud_mask_ones"):
                 self._cloud_mask_ones = jnp.ones(self.CLOUD_CAP, bool)
             return pointcloud, self._cloud_mask_ones
@@ -126,10 +138,16 @@ class System:
         if pc.shape[1] == 3:
             pc = np.concatenate([pc, np.ones((len(pc), 1), np.float32)], axis=1)
         n = min(len(pc), self.CLOUD_CAP)
+        if pc.shape == (self.CLOUD_CAP, 4) and cloud_mask is not None:
+            # loader-padded host cloud: ship as-is with its own mask
+            return jnp.asarray(pc), jnp.asarray(cloud_mask)
         out = np.zeros((self.CLOUD_CAP, 4), np.float32)
         out[:n] = pc[:n]
         mask = np.zeros(self.CLOUD_CAP, bool)
-        mask[:n] = True
+        if cloud_mask is not None:
+            mask[:n] = np.asarray(cloud_mask)[:n]
+        else:
+            mask[:n] = True
         return jnp.asarray(out), jnp.asarray(mask)
 
     def _frame_capacity(self) -> int:
@@ -146,9 +164,12 @@ class System:
 
         The steady-state frame runs as ONE fused XLA dispatch
         (``compiled.make_track_step``); the classic per-stage path handles
-        initialization / recovery / distorted-input configurations."""
+        initialization / recovery / distorted-input configurations.
+        ``cloud_mask`` (the loaders' padded-cloud validity) rides into the
+        fused step's ``depth_valid`` input — masked and unmasked clouds
+        share one compiled program."""
         if (self.use_fused and self._undistort_cam is None
-                and cloud_mask is None and self.cfg.sensor == RGBL):
+                and self.cfg.sensor == RGBL):
             from orb_slam3_rgbl_tpu.slam.fast_path import FastPath
 
             n_feat = self._frame_capacity()
@@ -158,7 +179,7 @@ class System:
                 self._fast = FastPath(self.cfg, n_feat)
                 self.tracker.fast = self._fast
             img = jnp.asarray(gray, jnp.float32)
-            pts, mask = self._pad_cloud(pointcloud)
+            pts, mask = self._pad_cloud(pointcloud, cloud_mask)
             res = self.tracker.track_image_rgbl(img, pts, mask, timestamp,
                                                 timer=self.timer)
             return self._post_track(res)
@@ -234,10 +255,10 @@ class System:
                 and self.cfg.stereo is not None):
             # stereo-fisheye: epipolar-consistent matching + two-view
             # triangulation instead of rectified row matching (reference
-            # Frame stereo-fisheye ctor, Frame.cc:1164+). NOTE documented
-            # deviation: downstream reprojection residuals stay pinhole
-            # (valid near the optical axis; full KB8 residuals are a
-            # future camera-model generalization of optim/*).
+            # Frame stereo-fisheye ctor, Frame.cc:1164+). Downstream
+            # matching + optimizer residuals run KB8-native via
+            # cfg.geo_camera (pose_opt/local_ba/inertial* dispatch on the
+            # camera model, ≡ GeometricCamera edges).
             from orb_slam3_rgbl_tpu.geometry import lie as _lie
             from orb_slam3_rgbl_tpu.geometry.camera import KannalaBrandt8Camera
 
@@ -308,7 +329,14 @@ class System:
         return self._track(feats, timestamp, imu=imu)
 
     # ------------------------------------------------------------------
+    def _cancel_gba(self):
+        """Abort + discard any in-flight GBA (its snapshot belongs to a
+        map that is being replaced/rebound)."""
+        with self._gba_lock:
+            self._abort_gba_locked()
+
     def _spawn_components(self, n_feat: int):
+        self._cancel_gba()
         if self.atlas is None:
             self.atlas = Atlas(self.cfg, n_feat)
         next_frame = self.tracker.frame_id + 1 if self.tracker is not None else 0
@@ -318,12 +346,14 @@ class System:
         if self.mapper is not None:
             self.mapper.timer = self.timer
         self.tracker.pre_kf_hook = self._join_mapping
+        self.tracker.join_mapping_fn = self._join_mapping
         self.tracker.mapping_busy_fn = (
             lambda: self._map_future is not None and not self._map_future.done())
         if self._fast is not None:
             self.tracker.fast = self._fast
         if self.cfg.loop_closing:
             self.loop_closer = LoopCloser(self.cfg, self.map)
+            self.loop_closer.gba_dispatch = self._dispatch_gba
             self.tracker.kf_db = self.loop_closer.db
             # the entry keeps its database alive for later merge detection
             self.atlas.entries[self.atlas.active_idx].db = self.loop_closer.db
@@ -345,8 +375,14 @@ class System:
             self._map_future = None
             if self._fast is not None:
                 self._fast.hold = False
+            if self.tracker is not None:
+                # deferred lm_visible/lm_found bumps land now, against the
+                # settled arrays and BEFORE any merge remaps the ids
+                self.tracker.flush_stat_buffer()
             if pending is not None:
                 self._try_merge(pending)
+        if self.loop_closer is not None:
+            self._poll_gba()
 
     def _mapping_job(self, kf_id: int, defer_merge: bool):
         if self.mapper is not None and self.map.n_kf > 1:
@@ -358,6 +394,44 @@ class System:
                     return kf_id       # merge candidate → main thread
                 self._try_merge(kf_id)
         return None
+
+    # -- transient GBA job (reference LoopClosing.cc:1206/2268) ---------
+    def _dispatch_gba(self):
+        """Schedule the post-loop global BA as its own abortable job; a
+        new correction supersedes (aborts) a running solve — the
+        reference's ``mbStopGBA`` + thread respawn (LoopClosing.cc:975)."""
+        if not self.async_mapping:
+            self.loop_closer._global_ba()
+            return
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        with self._gba_lock:
+            self._abort_gba_locked()
+            if self._gba_exec is None:
+                self._gba_exec = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="gba")
+            self._gba_abort = threading.Event()
+            self._gba_future = self._gba_exec.submit(
+                self.loop_closer._global_ba_solve, 6, self._gba_abort)
+
+    def _abort_gba_locked(self):
+        if self._gba_future is not None:
+            self._gba_abort.set()
+            self._gba_future.result()  # chunks bail between LM iterations
+            self._gba_future = None
+
+    def _poll_gba(self, wait: bool = False):
+        """Apply a finished GBA solve at a structural point (mapping plane
+        idle — the staged-writeback swap of LoopClosing.cc:2329-2440)."""
+        with self._gba_lock:
+            fut = self._gba_future
+            if fut is None or not (wait or fut.done()):
+                return
+            out = fut.result()
+            self._gba_future = None
+        if out is not None:
+            self.loop_closer._apply_gba(out)
 
     def _dispatch_mapping(self, kf_id: int):
         # inertial modes stay synchronous: IMU init / VIBA interleave with
@@ -430,9 +504,13 @@ class System:
     def shutdown(self):
         """Drain the mapping plane (``System::Shutdown``)."""
         self._join_mapping()
+        self._poll_gba(wait=True)
         if self._map_exec is not None:
             self._map_exec.shutdown(wait=True)
             self._map_exec = None
+        if self._gba_exec is not None:
+            self._gba_exec.shutdown(wait=True)
+            self._gba_exec = None
 
     def _try_merge(self, kf_id: int) -> bool:
         """Cross-map place recognition + Atlas weld (reference
@@ -473,6 +551,7 @@ class System:
         from orb_slam3_rgbl_tpu.slam import merging
         from orb_slam3_rgbl_tpu.utils.logging import log
 
+        self._cancel_gba()  # solve snapshot predates the weld — discard
         entry_old = self.atlas.entries[ei]
         old = entry_old.map
         active_map_id = self.map.map_id
@@ -554,17 +633,24 @@ class System:
 
     # ------------------------------------------------------------------
     def _resolve_segment(self, entry) -> np.ndarray:
-        out = []
-        for Tcr, rk in zip(entry.traj_rel, entry.traj_ref_kf):
-            Tcw = lie.se3_mul(jnp.asarray(Tcr), jnp.asarray(entry.map.kf_pose[rk]))
-            out.append(np.asarray(lie.se3_inv(Tcw)))
-        return np.stack(out) if out else np.zeros((0, 7), np.float32)
+        """Resolve a trajectory segment against current keyframe poses;
+        frames logged against later-culled keyframes ride the cull
+        redirect chain so they receive loop/GBA corrections
+        (``SaveTrajectoryKITTI`` parent walk, System.cc:1348-1405)."""
+        if not entry.traj_rel:
+            return np.zeros((0, 7), np.float32)
+        m = entry.map
+        rks = np.asarray(entry.traj_ref_kf, np.int64)
+        ref_poses = np.stack([m.effective_kf_pose(int(rk)) for rk in rks])
+        Tcw = lie.np_se3_mul(np.stack(entry.traj_rel), ref_poses)
+        return np.asarray(lie.se3_inv(jnp.asarray(Tcw)), np.float32)
 
     def trajectory(self) -> np.ndarray:
         """World-frame camera poses Twc (F, 7) across all atlas maps
         (each segment resolves against its own, possibly BA/loop-corrected
         keyframe poses — ``SaveTrajectoryKITTI`` semantics)."""
         self._join_mapping()
+        self._poll_gba(wait=True)
         if self.atlas is None:
             return np.zeros((0, 7), np.float32)
         self.atlas.archive_trajectory(self.tracker)
@@ -634,6 +720,7 @@ class System:
         """Full reset (``System::Reset``): drop the entire Atlas; fresh
         components materialize on the next frame."""
         self._join_mapping()
+        self._cancel_gba()
         self.atlas = None
         self.map = None
         self.tracker = None

@@ -60,6 +60,9 @@ class Tracker:
                  start_frame_id: int = 0):
         self.cfg = config
         self.cam = config.camera
+        # geometric camera for matching projections + optimizer residuals
+        # (pinhole | KB8 — reference GeometricCamera polymorphism)
+        self.geo_cam = config.geo_camera
         self.map = map_state
         self.state = NO_IMAGES_YET
         self._start_frame_id = start_frame_id
@@ -73,6 +76,11 @@ class Tracker:
         #   while the async plane is mid-job, NeedNewKeyFrame declines
         #   (we cannot InterruptBA a dispatched XLA program, so the busy
         #   window defers insertion instead — Tracking.cc:3137/3228)
+        self.join_mapping_fn = None  # wired by System: blocks until the
+        #   in-flight async mapping job lands — the classic per-stage
+        #   ladder reads live map arrays and must not race the worker
+        self._stat_buffer: list = []  # deferred lm_visible/lm_found bumps
+        #   captured while a mapping job is mutating the arrays
         self._reloc_key = jax.random.PRNGKey(13)
         self.is_mono = config.sensor in (MONOCULAR, IMU_MONOCULAR)
         self._mono_ref = None          # (FrameFeatures, timestamp) init reference
@@ -84,6 +92,7 @@ class Tracker:
         self.velocity: Optional[np.ndarray] = None   # T_cur_last
         self.last_feats: Optional[FrameFeatures] = None
         self.last_lm_idx: Optional[np.ndarray] = None
+        self.last_lm_gen: Optional[np.ndarray] = None  # lm_gen snapshot
         self.ref_kf: int = -1
         self.last_kf_frame: int = -9999
         self.last_reloc_frame: int = -9999
@@ -105,11 +114,23 @@ class Tracker:
         if self.inertial:
             self.T_bc, self.T_cb = imu_frontend.body_cam_extrinsics(config)
             self._imu_kf_acc = imu_frontend.ImuAccumulator(config)
+            # frame-to-frame window (reference mpImuPreintegratedFrame):
+            # feeds the last-frame VI optimizer and resets every frame
+            self._imu_frame_acc = imu_frontend.ImuAccumulator(config)
             self._last_imu_kf: int = -1
             self.cur_vel = np.zeros(3, np.float32)       # world body velocity
             self.cur_bias = (np.zeros(3, np.float32), np.zeros(3, np.float32))
             self._prev_body_center: Optional[np.ndarray] = None
             self._prev_body_time: Optional[float] = None
+            # last OK frame's body state + the map version it was solved
+            # against (PoseInertialOptimizationLastFrame anchoring)
+            self._last_frame_vi = None
+            self._last_frame_map_version = -1
+        # RECENTLY_LOST grace window (reference time_recently_lost, ~5 s:
+        # inertial modes dead-reckon on IMU prediction before giving up,
+        # Tracking.cc:2019-2053)
+        self.time_recently_lost = 5.0
+        self._lost_since = -1e9
         # trajectory log: relative pose to reference KF per frame
         # (reference Tracking.cc:2336-2360)
         self.traj_rel: list = []
@@ -118,6 +139,13 @@ class Tracker:
         self.traj_lost: list = []
         self.min_frames = 0
         self.max_frames = int(config.fps)
+        # bench/diagnostic knob: force a keyframe every N frames (the
+        # reference's NeedNewKeyFrame density on real KITTI is ~1 KF per
+        # 3-5 frames — synthetic worlds track too well to reach it);
+        # deferred_kf counts insertions the mapping busy-gate declined
+        # (must stay ~0 or the gate is thinning the map = accuracy loss)
+        self.force_kf_every = 0
+        self.deferred_kf = 0
         # localization-only mode (reference mbOnlyTracking, set by
         # System::ActivateLocalizationMode, System.cc:139-155): track
         # against the frozen map, never insert keyframes
@@ -126,12 +154,18 @@ class Tracker:
     # ------------------------------------------------------------------
     def track(self, feats: FrameFeatures, timestamp: float,
               imu: Optional[np.ndarray] = None) -> TrackResult:
+        # the classic ladder reads live map arrays (lm_pos, kf_lm_idx,
+        # covisibility) — an in-flight async mapping job may be rewriting
+        # them; join first (the fused path alone is snapshot-tolerant)
+        if self.join_mapping_fn is not None:
+            self.join_mapping_fn()
         self.frame_id += 1
         if self.n_feat is None:
             self.n_feat = int(feats.uv.shape[0])
         if self.inertial and imu is not None:
             # samples since the previous frame: (S, 7) [t, acc, gyro]
             self._imu_kf_acc.add(imu)
+            self._imu_frame_acc.add(imu)
 
         created_kf = False
         self.new_kf_ids = []
@@ -151,8 +185,13 @@ class Tracker:
             else:
                 if self.state == OK:
                     self.state = RECENTLY_LOST
+                    self._lost_since = timestamp
                 elif self.state == RECENTLY_LOST:
-                    self.state = LOST
+                    # inertial grace: stay RECENTLY_LOST while the IMU
+                    # carries the pose (Tracking.cc:2019-2035 keeps the
+                    # state for time_recently_lost before declaring LOST)
+                    if not self._imu_grace_active(timestamp):
+                        self.state = LOST
 
         if self.inertial and self.state == OK:
             # pre-init velocity bootstrap: finite-difference body centers
@@ -167,6 +206,17 @@ class Tracker:
 
         self._log_trajectory(timestamp)
         self._update_last(feats)
+        if self.inertial:
+            if self.state == OK:
+                # last-frame anchor for PoseInertialOptimizationLastFrame
+                self._last_frame_vi = (
+                    np.asarray(self._body_pose(self.cur_pose), np.float32),
+                    self.cur_vel.copy(),
+                    self.cur_bias[0].copy(), self.cur_bias[1].copy())
+                self._last_frame_map_version = self.map.version
+            else:
+                self._last_frame_vi = None
+            self._imu_frame_acc.reset()
         return TrackResult(
             pose=self.cur_pose.copy(), state=self.state, n_inliers=n_inl,
             created_kf=created_kf, timestamp=timestamp,
@@ -337,7 +387,23 @@ class Tracker:
         lm_idx = None
         self._loc_total_inliers = 0
         if self.state in (RECENTLY_LOST, LOST):
-            # reference Tracking.cc:2019-2053: RECENTLY_LOST attempts
+            if self.state == RECENTLY_LOST and self._imu_grace_active(timestamp) \
+                    and self._imu_ready():
+                # inertial dead-reckoning grace (Tracking.cc:2019-2035):
+                # carry the pose on the IMU prediction and try to
+                # re-acquire the local map visually from it — the
+                # reference's PredictStateIMU → TrackLocalMap sequence
+                p = self._predict_pose_imu()
+                if p is not None:
+                    self.cur_pose = p
+                    self.cur_vel = np.asarray(self._pred_vel, np.float32)
+                    lm_idx, n_inl = self._track_local_map(
+                        feats, np.full(self.n_feat, -1, np.int32))
+                    self.cur_lm_idx = lm_idx
+                    if n_inl >= 15:
+                        return True, n_inl   # visually re-acquired
+                    return False, 0          # carried on IMU alone
+            # reference Tracking.cc:2036-2053: RECENTLY_LOST attempts
             # relocalization before giving up
             lm_idx, n = self._relocalization(feats)
             if n < 15:
@@ -395,6 +461,13 @@ class Tracker:
         return (self.inertial and self.map.imu_initialized
                 and self._last_imu_kf >= 0 and self._imu_kf_acc.n >= 2)
 
+    def _imu_grace_active(self, timestamp: float) -> bool:
+        """RECENTLY_LOST dead-reckoning window: an initialized inertial
+        system rides the IMU prediction for ``time_recently_lost``
+        seconds before falling to LOST (reference Tracking.cc:2019-2035)."""
+        return (self.inertial and self.map.imu_initialized
+                and timestamp - self._lost_since <= self.time_recently_lost)
+
     def _kf_vi_state(self, k: int):
         """VIState of keyframe k from map arrays (body frame)."""
         from orb_slam3_rgbl_tpu.optim.inertial import VIState
@@ -431,16 +504,37 @@ class Tracker:
         return self._cam_pose(lie.se3(R1, p1))
 
     def _vi_refine(self, feats: FrameFeatures, lm_idx: np.ndarray) -> int:
-        """15-DoF visual-inertial pose solve of the current frame against
-        the last keyframe's state + preintegration."""
+        """15-DoF visual-inertial pose solve of the current frame.
+
+        Anchor selection mirrors the reference ``TrackLocalMap``
+        (Tracking.cc:3019-3036): when the map has NOT changed since the
+        last frame was solved, anchor to the LAST FRAME's state with the
+        frame-to-frame preintegration (``PoseInertialOptimizationLastFrame``,
+        Optimizer.h:50-99); otherwise anchor to the last keyframe
+        (``PoseInertialOptimizationLastKeyFrame``). Deviation: the anchor
+        state is held fixed (the reference optimizes both states with the
+        previous solve's marginalization prior ``mpcpi`` — holding the
+        anchor is the infinite-prior limit)."""
         from orb_slam3_rgbl_tpu.optim import inertial
         from orb_slam3_rgbl_tpu.imu import preintegration as pre
 
-        k = self._last_imu_kf
-        prev = self._kf_vi_state(k)
-        meas = self._imu_kf_acc.preintegrate(
-            pre.ImuBias(jnp.asarray(self.map.kf_bg[k]), jnp.asarray(self.map.kf_ba[k]))
-        )
+        prev = None
+        meas = None
+        if (self._last_frame_vi is not None
+                and self._last_frame_map_version == self.map.version
+                and self._imu_frame_acc.n >= 2):
+            Twb_l, vw_l, bg_l, ba_l = self._last_frame_vi
+            bias_l = pre.ImuBias(jnp.asarray(bg_l), jnp.asarray(ba_l))
+            prev = inertial.VIState(Twb=jnp.asarray(Twb_l),
+                                    vw=jnp.asarray(vw_l), bias=bias_l)
+            meas = self._imu_frame_acc.preintegrate(bias_l)
+        if meas is None:
+            k = self._last_imu_kf
+            prev = self._kf_vi_state(k)
+            meas = self._imu_kf_acc.preintegrate(
+                pre.ImuBias(jnp.asarray(self.map.kf_bg[k]),
+                            jnp.asarray(self.map.kf_ba[k]))
+            )
         if meas is None:
             return 0
         bound = lm_idx >= 0
@@ -459,7 +553,7 @@ class Tracker:
             bias=prev.bias,
         )
         out, n_inl = inertial.inertial_pose_optimize(
-            state0, prev, meas, obs, jnp.asarray(self.T_cb), self.cam
+            state0, prev, meas, obs, jnp.asarray(self.T_cb), self.geo_cam
         )
         self.cur_pose = self._cam_pose(out.Twb)
         self.cur_vel = np.asarray(out.vw, np.float32)
@@ -473,8 +567,13 @@ class Tracker:
         th=15 for RGBD-like sensors, doubled on retry)."""
         pred = self._predict_pose()
         lm_ids = self.last_lm_idx
+        safe = np.clip(lm_ids, 0, None)
         sel = lm_ids >= 0
-        sel &= self.map.lm_valid[np.clip(lm_ids, 0, None)]
+        sel &= self.map.lm_valid[safe]
+        if self.last_lm_gen is not None:
+            # slot-recycling guard: a culled+reused slot passes lm_valid
+            # but its generation moved (MapState.lm_gen)
+            sel &= self.map.lm_gen[safe] == self.last_lm_gen
         ids = lm_ids[sel]
         if ids.size < 10:
             return None, 0
@@ -532,7 +631,7 @@ class Tracker:
                     np.clip(np.asarray(feats.octave), 0, len(self.inv_sigma2) - 1)]),
                 valid=jnp.asarray(feat_slot >= 0) & feats.valid,
             )
-            res = pose_opt.pose_optimize(jnp.asarray(pred, jnp.float32), obs, self.cam)
+            res = pose_opt.pose_optimize(jnp.asarray(pred, jnp.float32), obs, self.geo_cam)
             self.cur_pose = np.asarray(res.Tcw, np.float32)
             inliers = np.asarray(res.inliers)
             self._loc_total_inliers = int(res.n_inliers)
@@ -650,15 +749,15 @@ class Tracker:
                         Pangle: Optional[np.ndarray] = None):
         """Project landmark array P with `pose`, window-match against the
         frame, return per-feature landmark bindings (N,)."""
+        from orb_slam3_rgbl_tpu.geometry.camera import np_geo_project
+
         pc = np.asarray(lie.se3_apply(jnp.asarray(pose), jnp.asarray(P)))
         z = pc[:, 2]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            u = self.cam.fx * pc[:, 0] / z + self.cam.cx
-            v = self.cam.fy * pc[:, 1] / z + self.cam.cy
+        proj_uv = np_geo_project(self.geo_cam, pc).astype(np.float32)
+        u, v = proj_uv[:, 0], proj_uv[:, 1]
         in_front = z > 0.1
         in_img = (u >= 0) & (u < self.cam.width) & (v >= 0) & (v < self.cam.height)
         Pvalid = Pvalid & in_front & np.nan_to_num(in_img, nan=False)
-        proj_uv = np.stack([np.nan_to_num(u), np.nan_to_num(v)], axis=1).astype(np.float32)
         radius = (th * self.scale_factors[np.clip(Poct, 0, len(self.scale_factors) - 1)]).astype(np.float32)
 
         kp_valid = np.asarray(feats.valid)
@@ -698,7 +797,8 @@ class Tracker:
             ),
             valid=jnp.asarray(bound) & feats.valid,
         )
-        res = pose_opt.pose_optimize(jnp.asarray(init_pose, jnp.float32), obs, self.cam)
+        res = pose_opt.pose_optimize(jnp.asarray(init_pose, jnp.float32), obs,
+                                     self.geo_cam)
         return (
             np.asarray(res.Tcw, np.float32),
             int(res.n_inliers),
@@ -753,11 +853,11 @@ class Tracker:
                     jnp.asarray(s2), jnp.ones(len(f1), bool), self.cam, sub,
                 )
             else:
+                from orb_slam3_rgbl_tpu.geometry.camera import np_geo_unproject
+
                 z = depth_np[f1]
-                p_cam = np.stack(
-                    [(uv[:, 0] - self.cam.cx) / self.cam.fx * z,
-                     (uv[:, 1] - self.cam.cy) / self.cam.fy * z, z], axis=1
-                ).astype(np.float32)
+                p_cam = (np_geo_unproject(self.geo_cam, uv)
+                         * z[:, None]).astype(np.float32)
                 res = pnp.rigid_pnp_ransac(
                     jnp.asarray(p_cam), jnp.asarray(self.map.lm_pos[lm]),
                     jnp.asarray(uv.astype(np.float32)), jnp.asarray(s2),
@@ -827,8 +927,15 @@ class Tracker:
         if (self.map.n_kf > self.max_frames
                 and self.frame_id < self.last_reloc_frame + self.max_frames):
             return False
+        forced = (self.force_kf_every > 0
+                  and self.frame_id >= self.last_kf_frame + self.force_kf_every)
         if self.mapping_busy_fn is not None and self.mapping_busy_fn():
+            if forced:
+                self.deferred_kf += 1
             return False
+        if forced:
+            self._create_keyframe(feats, timestamp)
+            return True
         ref_matches = self._ref_kf_tracked()
         depth = np.asarray(feats.depth)
         valid = np.asarray(feats.valid)
@@ -910,11 +1017,11 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _unproject(self, uv: np.ndarray, depth: np.ndarray, Tcw) -> np.ndarray:
-        x = (uv[:, 0] - self.cam.cx) / self.cam.fx * depth
-        y = (uv[:, 1] - self.cam.cy) / self.cam.fy * depth
-        pc = np.stack([x, y, depth], axis=1).astype(np.float32)
+        from orb_slam3_rgbl_tpu.geometry.camera import np_geo_unproject
+
         # pure numpy: the input size varies per keyframe — a jitted kernel
         # would recompile on every call (seconds each on the TPU tunnel)
+        pc = (np_geo_unproject(self.geo_cam, uv) * depth[:, None]).astype(np.float32)
         Twc = lie.np_se3_inv(np.asarray(Tcw, np.float32))
         return lie.np_quat_rotate(Twc[:4], pc) + Twc[4:7]
 
@@ -926,6 +1033,7 @@ class Tracker:
             self.last_pose = self.cur_pose.copy()
             self.last_feats = feats
             self.last_lm_idx = getattr(self, "cur_lm_idx", np.full(self.n_feat, -1, np.int32)).copy()
+            self.last_lm_gen = self.map.lm_gen[np.clip(self.last_lm_idx, 0, None)].copy()
         elif self.state in (RECENTLY_LOST, LOST):
             self.velocity = None
 
@@ -975,13 +1083,15 @@ class Tracker:
         if usable:
             if timer is not None:
                 with timer.stage("pose_pred"):
-                    fp.sync(self.map, self.ref_kf, self.last_feats, self.last_lm_idx)
+                    fp.sync(self.map, self.ref_kf, self.last_feats,
+                            self.last_lm_idx, self.last_lm_gen)
                     pred = self._predict_pose_fused()
                 with timer.stage("lm_track"):
                     out = fp.run(img, points, cloud_valid, pred)
                     host = self._download_fused(out)
             else:
-                fp.sync(self.map, self.ref_kf, self.last_feats, self.last_lm_idx)
+                fp.sync(self.map, self.ref_kf, self.last_feats,
+                        self.last_lm_idx, self.last_lm_gen)
                 out = fp.run(img, points, cloud_valid, self._predict_pose_fused())
                 host = self._download_fused(out)
             if host[0] >= 30:
@@ -991,14 +1101,20 @@ class Tracker:
             feats = self._extract_rgbl(img, points, cloud_valid)
         return self.track(feats, timestamp)
 
-    @staticmethod
-    def _download_fused(out):
-        """ONE bulk host transfer for everything the control loop needs —
-        separate np.asarray calls would pay a tunnel round-trip each."""
-        vals = jax.device_get((out.n_inliers, out.Tcw, out.bind_prev,
-                               out.bind_win, out.win_visible,
-                               out.n_tracked_close, out.n_nontracked_close))
-        return (int(vals[0]),) + vals[1:]
+    def _download_fused(self, out):
+        """ONE host transfer for everything the control loop needs — the
+        step packs its scalars/bindings into a single f32 vector; each
+        separate fetch would pay a device round-trip (the median frame
+        was ~80% host overhead before packing)."""
+        v = np.asarray(jax.device_get(out.packed))
+        N = self.n_feat
+        n_inl, n_mm, n_tc, n_ntc = v[:4].astype(np.int64)
+        pose = v[4:11].astype(np.float32)
+        bind_prev = v[11: 11 + N].astype(np.int32)
+        bind_win = v[11 + N: 11 + 2 * N].astype(np.int32)
+        win_visible = v[11 + 2 * N:] > 0.5
+        return (int(n_inl), pose, bind_prev, bind_win, win_visible,
+                int(n_tc), int(n_ntc))
 
     def _extract_rgbl(self, img, points, cloud_valid) -> FrameFeatures:
         from orb_slam3_rgbl_tpu.ops import depth as depth_ops
@@ -1069,8 +1185,14 @@ class Tracker:
         if (self.map.n_kf > self.max_frames
                 and self.frame_id < self.last_reloc_frame + self.max_frames):
             return False
+        forced = (self.force_kf_every > 0
+                  and self.frame_id >= self.last_kf_frame + self.force_kf_every)
         if self.mapping_busy_fn is not None and self.mapping_busy_fn():
+            if forced:
+                self.deferred_kf += 1
             return False
+        if forced:
+            return True
         ref_matches = self._ref_kf_tracked()
         need_close = self._need_close(tracked_close, nontracked_close)
         th_ref = 0.75
@@ -1092,27 +1214,40 @@ class Tracker:
         n_inl, pose, bind_prev, bind_win, win_visible, n_tc, n_ntc = host
         pose = np.asarray(pose, np.float32)
         cur = np.full(self.n_feat, -1, np.int32)
+        cur_gen = np.zeros(self.n_feat, np.int32)
         pm = bind_prev >= 0
         cur[pm] = fp.prev_lm_ids[bind_prev[pm]]
+        cur_gen[pm] = fp.prev_lm_gen[bind_prev[pm]]
         wm = bind_win >= 0
         cur[wm] = fp.win_ids[bind_win[wm]]
+        cur_gen[wm] = fp.win_gen[bind_win[wm]]
+        # slot-recycling guard (MapState.lm_gen): an async mapping job may
+        # have culled + reused a slot since the window snapshot — drop
+        # those bindings instead of silently re-associating
+        b = cur >= 0
+        safe = np.clip(cur, 0, None)
+        stale = b & ((~self.map.lm_valid[safe])
+                     | (self.map.lm_gen[safe] != cur_gen))
+        if stale.any():
+            cur[stale] = -1
         self.cur_pose = pose
         self.cur_lm_idx = cur
 
-        # visibility / found bookkeeping (MapPoint::IncreaseVisible/Found)
+        # visibility / found bookkeeping (MapPoint::IncreaseVisible/Found);
+        # deferred while a mapping job is mutating the arrays in place
         vis = win_visible[: len(fp.win_ids)]
-        self.map.lm_visible[fp.win_ids[vis]] += 1
-        self.map.lm_found[cur[cur >= 0]] += 1
+        self._bump_stats(fp.win_ids[vis], fp.win_gen[vis],
+                         cur[cur >= 0], cur_gen[cur >= 0])
 
         created = False
         if self._fast_kf_policy(n_inl, int(n_tc), int(n_ntc)):
             if timer is not None:
                 with timer.stage("new_kf"):
-                    feats_np = FrameFeatures(*jax.device_get(tuple(out.feats)))
-                    self._create_keyframe(feats_np, timestamp)
+                    self._create_keyframe(self._download_feats(out.feats),
+                                          timestamp)
             else:
-                feats_np = FrameFeatures(*jax.device_get(tuple(out.feats)))
-                self._create_keyframe(feats_np, timestamp)
+                self._create_keyframe(self._download_feats(out.feats),
+                                      timestamp)
             created = True
 
         self._log_trajectory(timestamp)
@@ -1121,9 +1256,66 @@ class Tracker:
         self.last_pose = pose.copy()
         self.last_feats = out.feats
         self.last_lm_idx = self.cur_lm_idx.copy()
-        fp.advance(out, self.cur_lm_idx.copy())
+        if created:
+            # keyframe creation may have minted fresh landmarks into
+            # cur_lm_idx — re-snapshot their generations from the map
+            cur_gen = self.map.lm_gen[np.clip(self.cur_lm_idx, 0, None)].copy()
+        self.last_lm_gen = cur_gen
+        fp.advance(out, self.cur_lm_idx.copy(), cur_gen)
         return TrackResult(pose=pose.copy(), state=OK, n_inliers=n_inl,
                            created_kf=created, timestamp=timestamp)
+
+    @staticmethod
+    def _download_feats(feats: FrameFeatures) -> FrameFeatures:
+        """Keyframe-creation feats download in TWO transfers (one f32
+        blob + the u32 descriptors) instead of eight — the (N,)-array
+        round-trips dominated the KF-frame tail."""
+        N = feats.uv.shape[0]
+        blob = jnp.concatenate([
+            feats.uv.reshape(-1), feats.response,
+            feats.octave.astype(jnp.float32), feats.angle,
+            feats.valid.astype(jnp.float32), feats.depth, feats.u_right,
+        ])
+        b, desc = jax.device_get((blob, feats.desc))
+        b = np.asarray(b)
+        uv = b[: 2 * N].reshape(N, 2).astype(np.float32)
+        response = b[2 * N: 3 * N].astype(np.float32)
+        octave = b[3 * N: 4 * N].astype(np.int32)
+        angle = b[4 * N: 5 * N].astype(np.float32)
+        valid = b[5 * N: 6 * N] > 0.5
+        depth = b[6 * N: 7 * N].astype(np.float32)
+        u_right = b[7 * N: 8 * N].astype(np.float32)
+        return FrameFeatures(uv=uv, response=response, octave=octave,
+                             angle=angle, desc=np.asarray(desc),
+                             valid=valid, depth=depth, u_right=u_right)
+
+    # ------------------------------------------------------------------
+    def _bump_stats(self, vis_ids, vis_gen, found_ids, found_gen):
+        """``MapPoint::IncreaseVisible/IncreaseFound`` counters. While an
+        async mapping job is in flight the arrays are being mutated (and
+        possibly replaced by capacity growth) on the worker thread — the
+        increments are buffered and flushed at the next join."""
+        if self.mapping_busy_fn is not None and self.mapping_busy_fn():
+            self._stat_buffer.append(
+                (vis_ids.copy(), vis_gen.copy(), found_ids.copy(), found_gen.copy()))
+            return
+        self.flush_stat_buffer()
+        self.map.lm_visible[vis_ids] += 1
+        self.map.lm_found[found_ids] += 1
+
+    def flush_stat_buffer(self):
+        """Apply deferred visibility/found increments (called after the
+        async mapping job joins). Entries whose slot generation moved in
+        the meantime are dropped — the landmark was culled/recycled."""
+        if not self._stat_buffer:
+            return
+        m = self.map
+        for vis_ids, vis_gen, found_ids, found_gen in self._stat_buffer:
+            ok_v = m.lm_gen[vis_ids] == vis_gen
+            ok_f = m.lm_gen[found_ids] == found_gen
+            m.lm_visible[vis_ids[ok_v]] += 1
+            m.lm_found[found_ids[ok_f]] += 1
+        self._stat_buffer.clear()
 
     # ------------------------------------------------------------------
     def rebind_after_merge(self, new_map: MapState, kf_remap: np.ndarray,
@@ -1158,8 +1350,11 @@ class Tracker:
             return np.where(idx >= 0, lm_map[np.clip(idx, 0, None)], -1).astype(np.int32)
 
         self.last_lm_idx = remap_lms(self.last_lm_idx)
+        if self.last_lm_idx is not None:
+            self.last_lm_gen = new_map.lm_gen[np.clip(self.last_lm_idx, 0, None)].copy()
         if hasattr(self, "cur_lm_idx"):
             self.cur_lm_idx = remap_lms(self.cur_lm_idx)
+        self._stat_buffer.clear()  # pre-merge ids are void
         if self.ref_kf >= 0:
             self.ref_kf = int(kf_remap[self.ref_kf])
         if self.inertial:
@@ -1179,9 +1374,11 @@ class Tracker:
 
     def trajectory_world(self) -> np.ndarray:
         """Resolve the per-frame relative log into world-frame camera
-        poses Twc (F, 7) using current keyframe poses."""
-        out = []
-        for Tcr, rk in zip(self.traj_rel, self.traj_ref_kf):
-            Tcw = lie.se3_mul(jnp.asarray(Tcr), jnp.asarray(self.map.kf_pose[rk]))
-            out.append(np.asarray(lie.se3_inv(Tcw)))
-        return np.stack(out) if out else np.zeros((0, 7), np.float32)
+        poses Twc (F, 7) using current keyframe poses (culled reference
+        keyframes resolve through the cull-redirect chain)."""
+        if not self.traj_rel:
+            return np.zeros((0, 7), np.float32)
+        ref_poses = np.stack([self.map.effective_kf_pose(int(rk))
+                              for rk in self.traj_ref_kf])
+        Tcw = lie.np_se3_mul(np.stack(self.traj_rel), ref_poses)
+        return np.asarray(lie.se3_inv(jnp.asarray(Tcw)), np.float32)

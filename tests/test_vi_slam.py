@@ -192,3 +192,57 @@ class TestLocalInertialBA:
         assert abs(v_err) / np.linalg.norm(vel_gt[-1]) < 0.4
         err = aligned_ate(sys, gt, with_scale=True)
         assert err < 0.5, err
+
+
+class TestInertialLostGrace:
+    def test_blackout_dead_reckoning(self, rng):
+        """1 s of blacked-out imagery after IMU init: the tracker must
+        ride the IMU prediction through RECENTLY_LOST (never LOST —
+        reference time_recently_lost grace, Tracking.cc:2019-2035) and
+        re-acquire visually when texture returns, without relocalization."""
+        cfg = dataclasses.replace(
+            kitti_rgbl_config(sensor=IMU_RGBD), imu=ImuConfig(), loop_closing=False,
+        )
+        n = 50
+        blackout = set(range(30, 40))  # 1 s at 10 Hz
+        gt, imu_blocks, vel_gt, _ = simulate_vi_sequence(rng, n)
+        world = SyntheticWorld(rng, cam=cfg.camera, length=60.0)
+        sys = System(cfg)
+        states, poses = [], []
+        reloc_calls = {"grace": 0}
+        wrapped = False
+        for i in range(n):
+            feats = world.render(gt[i])
+            if i in blackout:
+                feats = feats._replace(valid=jnp.zeros_like(feats.valid))
+            if sys.tracker is not None and not wrapped:
+                tr = sys.tracker
+                orig = tr._relocalization
+
+                def counting(f, _orig=orig, _tr=tr):
+                    if _tr.state in (trk.RECENTLY_LOST, trk.LOST):
+                        reloc_calls["grace"] += 1
+                    return _orig(f)
+
+                tr._relocalization = counting
+                wrapped = True
+            r = sys.track_features(feats, i * FRAME_DT,
+                                   imu=None if i == 0 else imu_blocks[i - 1])
+            states.append(r.state)
+            poses.append(r.pose)
+        assert sys.map.imu_initialized, "IMU never initialized"
+        assert states[29] == trk.OK
+        # grace: the blackout never degrades past RECENTLY_LOST
+        assert all(states[i] in (trk.OK, trk.RECENTLY_LOST) for i in blackout), \
+            [trk.STATE_NAMES[states[i]] for i in sorted(blackout)]
+        # visual re-acquisition without relocalization
+        assert all(s == trk.OK for s in states[42:]), \
+            [trk.STATE_NAMES[s] for s in states[40:]]
+        assert reloc_calls["grace"] == 0, "grace should bypass relocalization"
+        # the IMU carried the pose: distance traveled across the blackout
+        # matches ground truth (both metric after init)
+        def center(Tcw):
+            return np.asarray(lie.se3_trans(lie.se3_inv(jnp.asarray(Tcw))))
+        d_est = np.linalg.norm(center(poses[40]) - center(poses[29]))
+        d_gt = np.linalg.norm(center(gt[40]) - center(gt[29]))
+        assert abs(d_est - d_gt) < 0.5, (d_est, d_gt)
