@@ -60,9 +60,10 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
         # closure inside the timed window
         radius = 22.0
         world = syn.make_box_world(0, tex_size=512, half=radius + 14.0)
-        lap_n = max((n_frames + 8) // 2, 40)
-        lap = syn.loop_trajectory(lap_n, radius=radius)
-        traj = np.concatenate([lap, lap[8:]])[:n_frames]
+        period = max((n_frames + 8) // 2, 40)
+        traj = syn.multi_loop_trajectory(n_frames, radius=radius,
+                                         period=period)
+        traj[:, 4] -= radius   # center the circle inside the box
     else:
         world = syn.make_world(0, tex_size=512, half_width=10.0, far_z=150.0)
         traj = syn.straight_trajectory(n_frames, step=1.0, weave=0.5)

@@ -124,13 +124,20 @@ def _linearize(problem: BAProblem, cam, use_huber: bool, obs_active: jax.Array):
     Jl = Jl * stereo_row
 
     depth_ok = z > 1e-3
-    active = obs_active & P.obs_mask & depth_ok & P.lm_valid[:, None] & P.pose_valid[P.obs_kf]
+    considered = obs_active & P.obs_mask & P.lm_valid[:, None] & P.pose_valid[P.obs_kf]
+    active = considered & depth_ok
     chi2 = jnp.sum(r * r, axis=-1) * P.obs_inv_sigma2
     delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
     e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
     w_rob = jnp.where(use_huber & (e > delta), delta / e, 1.0)
     w = jnp.where(active, P.obs_inv_sigma2 * w_rob, 0.0)
-    cost = jnp.sum(jnp.where(active, jnp.minimum(chi2, 1e7) * w_rob, 0.0))
+    # an observation thrown BEHIND the camera must cost the chi² cap, not
+    # vanish: otherwise a weakly-constrained pose can "improve" the cost
+    # by flying away and de-activating its own residuals (observed: poses
+    # at ~1e14 transiently accepted, then pulled back by a later solve —
+    # with frames logged against the garbage in between)
+    cost = (jnp.sum(jnp.where(active, jnp.minimum(chi2, 1e7) * w_rob, 0.0))
+            + 1e7 * jnp.sum(considered & ~depth_ok))
     return r, Jp, Jl, w, chi2, active, cost
 
 

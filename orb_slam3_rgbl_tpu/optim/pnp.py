@@ -40,7 +40,14 @@ def rigid_pnp_ransac(
     n_hypotheses: int = 256,
 ) -> PnPResult:
     P = p_cam.shape[0]
-    idx = jax.random.randint(key, (n_hypotheses, 3), 0, P)
+    # valid-aware minimal-set sampling: the inputs are PADDED to a fixed
+    # capacity tier; uniform indices would land mostly on zero rows
+    # (P=256 with ~50 real pairs → <1%% usable hypotheses). argsort puts
+    # valid indices first; sampling modulo the live count stays shape-static.
+    order = jnp.argsort(~valid)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    r = jax.random.randint(key, (n_hypotheses, 3), 0, P)
+    idx = order[jnp.mod(r, n_valid)]
     # Tcw candidates: p_cam ≈ T · X_w (rigid: fix_scale)
     S = _horn_sim3_3pt(p_cam[idx], X_w[idx], fix_scale=True)  # (H, 8)
     Tcw = S[:, :7]
@@ -99,7 +106,14 @@ def dlt_pnp_ransac(
     relocalization — the reference's ``MLPnPsolver`` use case). Batched
     6-point DLT hypotheses scored by reprojection chi2."""
     P = X_w.shape[0]
-    idx = jax.random.randint(key, (n_hypotheses, 6), 0, P)
+    # valid-aware minimal-set sampling: the inputs are PADDED to a fixed
+    # capacity tier; uniform indices would land mostly on zero rows
+    # (P=256 with ~50 real pairs → <1%% usable hypotheses). argsort puts
+    # valid indices first; sampling modulo the live count stays shape-static.
+    order = jnp.argsort(~valid)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    r = jax.random.randint(key, (n_hypotheses, 6), 0, P)
+    idx = order[jnp.mod(r, n_valid)]
     xn = jnp.stack([(uv[:, 0] - cam.cx) / cam.fx, (uv[:, 1] - cam.cy) / cam.fy], axis=1)
     Tcw = jax.vmap(_dlt_pnp_6pt)(X_w[idx], xn[idx])            # (H, 7)
 

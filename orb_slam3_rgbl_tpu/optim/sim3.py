@@ -81,7 +81,14 @@ def sim3_ransac(
     (``Sim3Solver::CheckInliers`` uses chi2 0.01 with 2 DoF = 9.210).
     """
     P = p1_cam.shape[0]
-    idx = jax.random.randint(key, (n_hypotheses, 3), 0, P)
+    # valid-aware minimal-set sampling: the inputs are PADDED to a fixed
+    # capacity tier; uniform indices would land mostly on zero rows
+    # (P=256 with ~50 real pairs → <1%% usable hypotheses). argsort puts
+    # valid indices first; sampling modulo the live count stays shape-static.
+    order = jnp.argsort(~valid)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    r = jax.random.randint(key, (n_hypotheses, 3), 0, P)
+    idx = order[jnp.mod(r, n_valid)]
     s1 = p1_cam[idx]  # (H, 3, 3)
     s2 = p2_cam[idx]
     S12 = _horn_sim3_3pt(s1, s2, fix_scale)  # (H, 8)

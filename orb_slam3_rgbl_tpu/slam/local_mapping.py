@@ -34,15 +34,101 @@ BA_LM_CAP = 8192
 BA_OBS_CAP = 8          # D — max obs per landmark inside the window
 
 
+class DeviceKfCache:
+    """Device-resident mirror of keyframe FEATURE arrays.
+
+    The mapping plane's batched kernels (Fuse projection, triangulation)
+    need the uv/descriptor/octave/angle blocks of ~16 keyframes per call;
+    re-uploading them from the host map cost ~1.5 MB (≈ 200 ms on the
+    measurement tunnel) per keyframe. Features are immutable once a
+    keyframe exists (reference KeyFrame: features const, pose mutable),
+    so they are appended here ONCE — in the fused path straight from the
+    device-resident extraction output, zero host round-trip — and every
+    kernel gathers by keyframe id on device. Poses stay host-authoritative
+    (BA rewrites them) and ride in as a small per-call argument."""
+
+    def __init__(self, n_feat: int, cap: int = 128):
+        self.n_feat = n_feat
+        self.cap = cap
+        self.have = set()
+        self._alloc(cap)
+
+    def _alloc(self, cap):
+        self.d_uv = jnp.zeros((cap, self.n_feat, 2), jnp.float32)
+        self.d_desc = jnp.zeros((cap, self.n_feat, 8), jnp.uint32)
+        self.d_oct = jnp.zeros((cap, self.n_feat), jnp.int32)
+        self.d_angle = jnp.zeros((cap, self.n_feat), jnp.float32)
+        self.d_valid = jnp.zeros((cap, self.n_feat), bool)
+
+    def _grow(self, need):
+        cap = self.cap
+        while cap < need:
+            cap *= 2
+        pad = cap - self.cap
+
+        def g(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+
+        self.d_uv, self.d_desc, self.d_oct, self.d_angle, self.d_valid = (
+            g(self.d_uv), g(self.d_desc), g(self.d_oct), g(self.d_angle),
+            g(self.d_valid))
+        self.cap = cap
+
+    def reset(self):
+        """Invalidate after an id remap (atlas merge) — entries backfill
+        lazily from the host map on next use."""
+        self.have.clear()
+
+    def ensure(self, m: MapState, ids):
+        """Backfill any keyframes missing from the device mirror (maps
+        built before the cache attached, classic-path creations, loads)."""
+        for k in ids:
+            k = int(k)
+            if k not in self.have:
+                self.add(k, _HostFeats(
+                    uv=m.kf_uv[k], desc=m.kf_desc[k],
+                    octave=m.kf_octave[k].astype(np.int32),
+                    angle=m.kf_angle[k], valid=m.kf_feat_valid[k]))
+
+    def add(self, kf_id: int, feats):
+        """Register keyframe features (FrameFeatures, device or host)."""
+        if kf_id >= self.cap:
+            self._grow(kf_id + 1)
+        self.have.add(int(kf_id))
+        self.d_uv = self.d_uv.at[kf_id].set(
+            jnp.asarray(feats.uv, jnp.float32))
+        self.d_desc = self.d_desc.at[kf_id].set(jnp.asarray(feats.desc))
+        self.d_oct = self.d_oct.at[kf_id].set(
+            jnp.asarray(feats.octave).astype(jnp.int32))
+        self.d_angle = self.d_angle.at[kf_id].set(
+            jnp.asarray(feats.angle, jnp.float32))
+        self.d_valid = self.d_valid.at[kf_id].set(jnp.asarray(feats.valid))
+
+
+class _HostFeats:
+    def __init__(self, uv, desc, octave, angle, valid):
+        self.uv, self.desc, self.octave, self.angle, self.valid = (
+            uv, desc, octave, angle, valid)
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
-def _fuse_project_batch(cam, scale_factor, n_levels, poses, uvs, descs, octs,
-                        fvalids, tvalid, P, Pdesc, Pmaxd, Pvalid):
+def _fuse_project_batch(cam, scale_factor, n_levels, tg_idx, poses, tvalid,
+                        d_uv, d_desc, d_oct, d_valid,
+                        P, Pdesc, Pmaxd, Pvalid):
     """``ORBmatcher::Fuse`` projection half for up to T target keyframes
     in one XLA program: project the landmark set into every target and
     windowed-match (radius 3·scale at the predicted octave, TH_LOW).
 
+    Target features GATHER from the device keyframe mirror by id
+    (``DeviceKfCache``) — no per-call host upload of keyframe blocks.
+
     Returns (idx (T, cap) matched feature per landmark slot or −1,
     dist (T, cap))."""
+    uvs = d_uv[tg_idx]
+    descs = d_desc[tg_idx]
+    octs = d_oct[tg_idx]
+    fvalids = d_valid[tg_idx]
 
     def one(Tcw, uv, desc, octv, fvalid, valid):
         pc = lie.se3_apply(Tcw[None, :], P)
@@ -66,16 +152,48 @@ def _fuse_project_batch(cam, scale_factor, n_levels, poses, uvs, descs, octs,
     return jax.vmap(one)(poses, uvs, descs, octs, fvalids, tvalid)
 
 
+def fuse_project_targets(mapper, tg, P, Pdesc, Pmaxd, Pvalid, TB):
+    """Host wrapper: pad target ids/poses to TB slots and run the fused
+    projection batch against the device feature mirror."""
+    m = mapper.map
+    mapper.dev_cache.ensure(m, tg)
+    tgp = np.zeros(TB, np.int32)
+    tgp[: len(tg)] = tg
+    posesp = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32), (TB, 1))
+    posesp[: len(tg)] = m.kf_pose[tg]
+    tvalid = np.zeros(TB, bool)
+    tvalid[: len(tg)] = True
+    c = mapper.dev_cache
+    return jax.device_get(_fuse_project_batch(
+        mapper.geo_cam, float(mapper.cfg.orb.scale_factor),
+        mapper.cfg.orb.n_levels,
+        jnp.asarray(tgp), jnp.asarray(posesp), jnp.asarray(tvalid),
+        c.d_uv, c.d_desc, c.d_oct, c.d_valid,
+        jnp.asarray(P), jnp.asarray(Pdesc), jnp.asarray(Pmaxd),
+        jnp.asarray(Pvalid),
+    ))
+
+
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor"))
-def _triangulate_batch(cam, scale_factor, T1, uv1, desc1, ang1, oct1, unbound1,
-                       T2s, uv2s, desc2s, ang2s, oct2s, unbound2s, pair_valid):
+def _triangulate_batch(cam, scale_factor, kf_idx, T1, unbound1,
+                       nb_idx, T2s, unbound2s, pair_valid,
+                       d_uv, d_desc, d_oct, d_angle):
     """All CreateNewMapPoints pair-math for up to NB neighbors in one XLA
     program: per-neighbor epipolar-gated mutual matching + DLT
     triangulation + parallax/cheirality/reprojection gates.
 
-    Returns (idx (NB, N) best neighbor feature per current feature or −1,
-    ok (NB, N) acceptance, X (NB, N, 3) triangulated points)."""
+    Keyframe features GATHER from the device mirror by id (no per-call
+    host upload). Returns (idx (NB, N) best neighbor feature per current
+    feature or −1, ok (NB, N) acceptance, X (NB, N, 3) points)."""
     K = None if cam_mod.is_fisheye(cam) else cam.K
+    uv1 = d_uv[kf_idx]
+    desc1 = d_desc[kf_idx]
+    ang1 = d_angle[kf_idx]
+    oct1 = d_oct[kf_idx]
+    uv2s = d_uv[nb_idx]
+    desc2s = d_desc[nb_idx]
+    ang2s = d_angle[nb_idx]
+    oct2s = d_oct[nb_idx]
     N = uv1.shape[0]
 
     def dirs(uv):
@@ -132,6 +250,9 @@ class LocalMapper:
         self.cam = config.camera
         self.geo_cam = config.geo_camera  # residual/projection camera model
         self.map = map_state
+        # device mirror of keyframe features (fed by the tracker's fused
+        # path at KF creation; lazily backfilled from the host map)
+        self.dev_cache = DeviceKfCache(map_state.n_features)
         self.inv_sigma2 = np.asarray(inv_scale_sigma2(config.orb.n_levels, config.orb.scale_factor))
         self.recent_lm: list = []   # (lm_ids, created_at_kf) for culling
         self.is_mono = config.sensor in (0, 3)  # MONOCULAR / IMU_MONOCULAR
@@ -189,35 +310,13 @@ class LocalMapper:
         Pdesc[:n] = m.lm_desc[lm_ids]
         Pmaxd[:n] = m.lm_max_dist[lm_ids]
         Pvalid[:n] = True
-
-        from orb_slam3_rgbl_tpu.geometry.camera import np_geo_project
-
-        Tcw = jnp.asarray(m.kf_pose[kf])
-        pc = np.asarray(lie.se3_apply(Tcw, jnp.asarray(P)))
-        z = pc[:, 2]
-        proj = np_geo_project(self.geo_cam, pc)
-        u, v = proj[:, 0], proj[:, 1]
-        in_img = (u >= 0) & (u < self.cam.width) & (v >= 0) & (v < self.cam.height)
-        Pvalid &= (z > 0.1) & np.nan_to_num(in_img, nan=False)
-        # predicted octave from the scale-invariance band (PredictScale)
-        center = np.asarray(lie.se3_trans(lie.se3_inv(Tcw)))
-        dist = np.linalg.norm(P - center[None, :], axis=-1)
-        ratio = Pmaxd / np.maximum(dist, 1e-6)
-        sf = self.cfg.orb.scale_factor
-        Poct = np.clip(np.ceil(np.log(np.maximum(ratio, 1e-6)) / np.log(sf)),
-                       0, self.cfg.orb.n_levels - 1).astype(np.int32)
-        radius = (th * sf ** Poct).astype(np.float32)
-
-        proj_uv = proj.astype(np.float32)
-        idx, d = matching.windowed_projection_match(
-            jnp.asarray(proj_uv), jnp.asarray(Pvalid), jnp.asarray(Pdesc),
-            jnp.asarray(Poct), jnp.asarray(m.kf_uv[kf]),
-            jnp.asarray(m.kf_feat_valid[kf]), jnp.asarray(m.kf_desc[kf]),
-            jnp.asarray(m.kf_octave[kf].astype(np.int32)), jnp.asarray(radius),
-            th=matching.TH_LOW,
-        )
+        # single-target batch against the device feature mirror (same
+        # kernel as the forward pass — projection, PredictScale octave
+        # and windowed match all on device)
+        idx_b, d_b = fuse_project_targets(
+            self, np.asarray([kf], np.int64), P, Pdesc, Pmaxd, Pvalid, TB=1)
         return self._apply_fuse_matches(kf, lm_ids, counts, remap,
-                                        np.asarray(idx), np.asarray(d))
+                                        idx_b[0], d_b[0])
 
     def _apply_fuse_matches(self, kf: int, lm_ids: np.ndarray,
                             counts: np.ndarray, remap: np.ndarray,
@@ -310,24 +409,8 @@ class LocalMapper:
             Pdesc[:n] = m.lm_desc[own_c]
             Pmaxd[:n] = m.lm_max_dist[own_c]
             Pvalid[:n] = True
-
-            def padt(a, fill=0):
-                out = np.full((TB,) + a.shape[1:], fill, a.dtype)
-                out[: len(tg)] = a
-                return out
-
-            tvalid = np.zeros(TB, bool)
-            tvalid[: len(tg)] = True
-            idx_b, dist_b = jax.device_get(_fuse_project_batch(
-                self.geo_cam, float(self.cfg.orb.scale_factor),
-                self.cfg.orb.n_levels,
-                jnp.asarray(padt(m.kf_pose[tg])), jnp.asarray(padt(m.kf_uv[tg])),
-                jnp.asarray(padt(m.kf_desc[tg])),
-                jnp.asarray(padt(m.kf_octave[tg].astype(np.int32))),
-                jnp.asarray(padt(m.kf_feat_valid[tg])), jnp.asarray(tvalid),
-                jnp.asarray(P), jnp.asarray(Pdesc), jnp.asarray(Pmaxd),
-                jnp.asarray(Pvalid),
-            ))
+            idx_b, dist_b = fuse_project_targets(
+                self, tg, P, Pdesc, Pmaxd, Pvalid, TB=TB)
             for a, k2 in enumerate(tg):
                 n_ops += self._apply_fuse_matches(
                     int(k2), own_c, counts, remap, idx_b[a], dist_b[a])
@@ -416,7 +499,6 @@ class LocalMapper:
         if neighbors.size == 0:
             return
         m = self.map
-        uv1 = m.kf_uv[kf_id]
         unbound1 = (m.kf_lm_idx[kf_id] < 0) & m.kf_feat_valid[kf_id]
         # mono maps have arbitrary scale: gate the baseline against the
         # median scene depth instead of meters (reference
@@ -436,7 +518,8 @@ class LocalMapper:
         if unbound1.sum() < 10:
             return
 
-        # pack the neighbor batch (fixed NB slots, invalid ones masked)
+        # pack the neighbor batch (fixed NB slots, invalid ones masked);
+        # keyframe feature blocks gather from the device mirror by id
         NB = 32 if self.is_mono else 12
         nb = neighbors[:NB]
         c1 = lie.np_se3_centers(m.kf_pose[kf_id])
@@ -455,17 +538,18 @@ class LocalMapper:
         pair_valid[: len(nb)] = pv
         if not pair_valid.any():
             return
+        self.dev_cache.ensure(m, np.concatenate([[kf_id], nb]))
+        nb_idx = np.zeros(NB, np.int32)
+        nb_idx[: len(nb)] = nb
+        c = self.dev_cache
         out = _triangulate_batch(
             self.geo_cam, float(self.cfg.orb.scale_factor),
-            jnp.asarray(m.kf_pose[kf_id]), jnp.asarray(uv1),
-            jnp.asarray(m.kf_desc[kf_id]), jnp.asarray(m.kf_angle[kf_id]),
-            jnp.asarray(m.kf_octave[kf_id].astype(np.int32)),
+            jnp.asarray(np.int32(kf_id)), jnp.asarray(m.kf_pose[kf_id]),
             jnp.asarray(unbound1),
-            jnp.asarray(padnb(m.kf_pose[nb])), jnp.asarray(padnb(m.kf_uv[nb])),
-            jnp.asarray(padnb(m.kf_desc[nb])), jnp.asarray(padnb(m.kf_angle[nb])),
-            jnp.asarray(padnb(m.kf_octave[nb].astype(np.int32))),
+            jnp.asarray(nb_idx), jnp.asarray(padnb(m.kf_pose[nb])),
             jnp.asarray(padnb(unbound2)),
             jnp.asarray(pair_valid),
+            c.d_uv, c.d_desc, c.d_oct, c.d_angle,
         )
         idx_b, ok_b, X_b = jax.device_get(out)
 

@@ -33,6 +33,31 @@ from orb_slam3_rgbl_tpu.retrieval.keyframe_db import KeyFrameDatabase
 from orb_slam3_rgbl_tpu.slam.map_state import MapState
 
 
+def _pad_pairs(cap, p1, p2, uv1, uv2, s1, s2):
+    """Pad Sim3-verification correspondence arrays to a fixed capacity
+    tier + validity mask. The match count varies per candidate — unpadded
+    shapes would compile a fresh Sim3 RANSAC/GN executable per call
+    (seconds each on the TPU tunnel; the round-3 bench's mid-run spikes)."""
+    P = len(p1)
+    out = []
+    for a, fill in ((p1, 0.0), (p2, 0.0), (uv1, 0.0), (uv2, 0.0),
+                    (s1, 1.0), (s2, 1.0)):
+        a = np.asarray(a, np.float32)
+        o = np.full((cap,) + a.shape[1:], fill, np.float32)
+        o[:P] = a
+        out.append(o)
+    vm = np.zeros(cap, bool)
+    vm[:P] = True
+    return out, vm
+
+
+def _pair_tier(n: int, lo: int = 256, hi: int = 2048) -> int:
+    t = lo
+    while t < n and t < hi:
+        t *= 2
+    return t
+
+
 @dataclasses.dataclass
 class LoopEvent:
     kf_cur: int
@@ -172,22 +197,25 @@ class LoopCloser:
         s2_2 = (1.2 ** (2 * m.kf_octave[cand, f2])).astype(np.float32)
 
         P = f1.size
+        cap = _pair_tier(P)
+        (pp1, pp2, pu1, pu2, ps1, ps2), vm = _pad_pairs(
+            cap, p1_cam, p2_cam, uv1, uv2, s2_1, s2_2)
         self._key, sub = jax.random.split(self._key)
         res = sim3_opt.sim3_ransac(
-            jnp.asarray(p1_cam), jnp.asarray(p2_cam), jnp.asarray(uv1), jnp.asarray(uv2),
-            jnp.asarray(s2_1), jnp.asarray(s2_2), jnp.ones(P, bool), self.cam,
+            jnp.asarray(pp1), jnp.asarray(pp2), jnp.asarray(pu1), jnp.asarray(pu2),
+            jnp.asarray(ps1), jnp.asarray(ps2), jnp.asarray(vm), self.cam,
             sub, n_hypotheses=512, fix_scale=self.fix_scale,
         )
         if int(res.n_inliers) < 20:
             return None
         S12, inl, n = sim3_opt.optimize_sim3(
-            res.S12, jnp.asarray(p1_cam), jnp.asarray(p2_cam), jnp.asarray(uv1),
-            jnp.asarray(uv2), jnp.asarray(1.0 / s2_1), jnp.asarray(1.0 / s2_2),
-            res.inliers, self.cam, fix_scale=self.fix_scale,
+            res.S12, jnp.asarray(pp1), jnp.asarray(pp2), jnp.asarray(pu1),
+            jnp.asarray(pu2), jnp.asarray(1.0 / ps1), jnp.asarray(1.0 / ps2),
+            res.inliers & jnp.asarray(vm), self.cam, fix_scale=self.fix_scale,
         )
         if int(n) < 25:
             return None
-        inl_np = np.asarray(inl)
+        inl_np = np.asarray(inl)[:P]
 
         # SearchBySim3 escalation (reference ORBmatcher::SearchBySim3 →
         # second OptimizeSim3, LoopClosing.cc:700-780 ladder): project the
@@ -208,14 +236,18 @@ class LoopCloser:
             p2c = np.asarray(lie.se3_apply(T2, jnp.asarray(m.lm_pos[a_lm2])))
             w1 = (1.2 ** (2 * m.kf_octave[kf_id, a_f1])).astype(np.float32)
             w2 = (1.2 ** (2 * m.kf_octave[cand, a_f2])).astype(np.float32)
+            cap2 = _pair_tier(P2)
+            (qp1, qp2, qu1, qu2, qw1, qw2), vm2 = _pad_pairs(
+                cap2, p1c, p2c, m.kf_uv[kf_id, a_f1], m.kf_uv[cand, a_f2],
+                w1, w2)
             S12b, inl2, n2 = sim3_opt.optimize_sim3(
-                jnp.asarray(S12_np), jnp.asarray(p1c), jnp.asarray(p2c),
-                jnp.asarray(m.kf_uv[kf_id, a_f1]), jnp.asarray(m.kf_uv[cand, a_f2]),
-                jnp.asarray(1.0 / w1), jnp.asarray(1.0 / w2),
-                jnp.ones(P2, bool), self.cam, fix_scale=self.fix_scale,
+                jnp.asarray(S12_np), jnp.asarray(qp1), jnp.asarray(qp2),
+                jnp.asarray(qu1), jnp.asarray(qu2),
+                jnp.asarray(1.0 / qw1), jnp.asarray(1.0 / qw2),
+                jnp.asarray(vm2), self.cam, fix_scale=self.fix_scale,
             )
             if int(n2) >= int(n):
-                inl2_np = np.asarray(inl2)
+                inl2_np = np.asarray(inl2)[:P2]
                 self._pending_fusion = (a_lm1[inl2_np], a_lm2[inl2_np])
                 return LoopEvent(kf_cur=kf_id, kf_matched=cand,
                                  n_inliers=int(n2), S12=np.asarray(S12b))

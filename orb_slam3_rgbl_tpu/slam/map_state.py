@@ -501,6 +501,11 @@ def dedup_kf_bindings(m: MapState):
     if dup.any():
         rows, cols = np.nonzero(dup)
         m.kf_lm_idx[valid_kfs[rows], order[rows, cols + 1]] = INVALID
+        # unbinding may orphan a landmark whose only observations were
+        # duplicate slots — cull it (keeps the zero-obs invariant)
+        orphans = np.nonzero(m.lm_valid & (m.observation_counts() == 0))[0]
+        if orphans.size:
+            m.remove_landmarks(orphans)
 
 
 def debug_reprojection_error(m: MapState, cam) -> dict:

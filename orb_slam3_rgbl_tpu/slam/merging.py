@@ -102,22 +102,29 @@ def verify_cross_map(
     s2_1 = (cfg.orb.scale_factor ** (2 * m1.kf_octave[kf1, f1])).astype(np.float32)
     s2_2 = (cfg.orb.scale_factor ** (2 * m2.kf_octave[kf2, f2])).astype(np.float32)
 
+    # pad to a fixed tier — match counts vary per candidate and unpadded
+    # shapes would compile a fresh Sim3 executable per call
+    from orb_slam3_rgbl_tpu.slam.loop_closing import _pad_pairs, _pair_tier
+
     P = f1.size
+    cap = _pair_tier(P)
+    (pp1, pp2, pu1, pu2, ps1, ps2), vm = _pad_pairs(
+        cap, p1_cam, p2_cam, uv1, uv2, s2_1, s2_2)
     res = sim3_opt.sim3_ransac(
-        jnp.asarray(p1_cam), jnp.asarray(p2_cam), jnp.asarray(uv1), jnp.asarray(uv2),
-        jnp.asarray(s2_1), jnp.asarray(s2_2), jnp.ones(P, bool), cam,
+        jnp.asarray(pp1), jnp.asarray(pp2), jnp.asarray(pu1), jnp.asarray(pu2),
+        jnp.asarray(ps1), jnp.asarray(ps2), jnp.asarray(vm), cam,
         key, n_hypotheses=512, fix_scale=fix_scale,
     )
     if int(res.n_inliers) < 20:
         return None
     S12, inl, n = sim3_opt.optimize_sim3(
-        res.S12, jnp.asarray(p1_cam), jnp.asarray(p2_cam), jnp.asarray(uv1),
-        jnp.asarray(uv2), jnp.asarray(1.0 / s2_1), jnp.asarray(1.0 / s2_2),
-        res.inliers, cam, fix_scale=fix_scale,
+        res.S12, jnp.asarray(pp1), jnp.asarray(pp2), jnp.asarray(pu1),
+        jnp.asarray(pu2), jnp.asarray(1.0 / ps1), jnp.asarray(1.0 / ps2),
+        res.inliers & jnp.asarray(vm), cam, fix_scale=fix_scale,
     )
     if int(n) < 25:
         return None
-    inl_np = np.asarray(inl)
+    inl_np = np.asarray(inl)[:P]
     return np.asarray(S12), int(n), (lm1[inl_np], lm2[inl_np])
 
 

@@ -347,6 +347,8 @@ class System:
             self.mapper.timer = self.timer
         self.tracker.pre_kf_hook = self._join_mapping
         self.tracker.join_mapping_fn = self._join_mapping
+        if self.mapper is not None:
+            self.tracker.kf_feats_hook = self.mapper.dev_cache.add
         self.tracker.mapping_busy_fn = (
             lambda: self._map_future is not None and not self._map_future.done())
         if self._fast is not None:
@@ -600,6 +602,7 @@ class System:
         self.tracker.kf_db = db
         if self.mapper is not None:
             self.mapper.map = res.map
+            self.mapper.dev_cache.reset()  # merged ids invalidate the mirror
             self.mapper.recent_lm = [
                 (lm_map[np.clip(ids, 0, None)][lm_map[np.clip(ids, 0, None)] >= 0],
                  int(res.kf_remap[k]) if k < len(res.kf_remap) and res.kf_remap[k] >= 0 else res.map.n_kf - 1)

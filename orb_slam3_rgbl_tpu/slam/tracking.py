@@ -70,6 +70,11 @@ class Tracker:
         self.kf_db = None   # KeyFrameDatabase, wired by System for reloc
         self.fast = None    # FastPath, wired by System for the fused loop
         self.pre_kf_hook = None  # called right before keyframe creation
+        self.kf_feats_hook = None  # called with (kf_id, feats) right after
+        #   creation — feeds the mapping plane's device feature mirror
+        #   (DeviceKfCache); the fused path hands the DEVICE extraction
+        #   output so no host round-trip happens
+        self._pending_device_feats = None
         #   (System joins the async mapping plane here — the reference's
         #   LocalMapping::SetNotStop/queue gate)
         self.mapping_busy_fn = None  # reference bLocalMappingIdle gate:
@@ -260,6 +265,8 @@ class Tracker:
         self.ref_kf = kf_id
         self.last_kf_frame = self.frame_id
         self.new_kf_ids = [kf_id]
+        if self.kf_feats_hook is not None:
+            self.kf_feats_hook(kf_id, feats)
         if self.inertial:
             self._imu_kf_acc.reset()
             self._last_imu_kf = kf_id
@@ -367,6 +374,9 @@ class Tracker:
         self.ref_kf = kf1
         self.last_kf_frame = self.frame_id
         self.new_kf_ids = [kf0, kf1]
+        if self.kf_feats_hook is not None:
+            self.kf_feats_hook(kf0, ref)
+            self.kf_feats_hook(kf1, feats)
         if self.inertial:
             from orb_slam3_rgbl_tpu.imu.preintegration import ImuBias
 
@@ -846,22 +856,40 @@ class Tracker:
                 continue
             uv = np.asarray(feats.uv)[f1]
             s2 = (self.cfg.orb.scale_factor ** (2 * np.asarray(feats.octave)[f1])).astype(np.float32)
+            # fixed-tier padding: the match count varies per candidate and
+            # unpadded shapes would compile a fresh PnP executable per call
+            from orb_slam3_rgbl_tpu.slam.loop_closing import _pair_tier
+
+            Pn = len(f1)
+            cap = _pair_tier(Pn)
+
+            def padp(a, fill=0.0):
+                a = np.asarray(a, np.float32)
+                o = np.full((cap,) + a.shape[1:], fill, np.float32)
+                o[:Pn] = a
+                return o
+
+            vm = np.zeros(cap, bool)
+            vm[:Pn] = True
+            Xl = padp(self.map.lm_pos[lm])
+            uvp = padp(uv)
+            s2p = padp(s2, 1.0)
             self._reloc_key, sub = jax.random.split(self._reloc_key)
             if self.is_mono:
                 res = pnp.dlt_pnp_ransac(
-                    jnp.asarray(self.map.lm_pos[lm]), jnp.asarray(uv.astype(np.float32)),
-                    jnp.asarray(s2), jnp.ones(len(f1), bool), self.cam, sub,
+                    jnp.asarray(Xl), jnp.asarray(uvp),
+                    jnp.asarray(s2p), jnp.asarray(vm), self.cam, sub,
                 )
             else:
                 from orb_slam3_rgbl_tpu.geometry.camera import np_geo_unproject
 
                 z = depth_np[f1]
-                p_cam = (np_geo_unproject(self.geo_cam, uv)
-                         * z[:, None]).astype(np.float32)
+                p_cam = padp((np_geo_unproject(self.geo_cam, uv)
+                              * z[:, None]).astype(np.float32))
                 res = pnp.rigid_pnp_ransac(
-                    jnp.asarray(p_cam), jnp.asarray(self.map.lm_pos[lm]),
-                    jnp.asarray(uv.astype(np.float32)), jnp.asarray(s2),
-                    jnp.ones(len(f1), bool), self.cam, sub,
+                    jnp.asarray(p_cam), jnp.asarray(Xl),
+                    jnp.asarray(uvp), jnp.asarray(s2p),
+                    jnp.asarray(vm), self.cam, sub,
                 )
             # reference RANSAC accepts ≥ 10 inliers (SetRansacParameters
             # minInliers=10, Tracking.cc:3690), refines, then escalates
@@ -870,7 +898,7 @@ class Tracker:
             if int(res.n_inliers) < 10:
                 continue
             lm_idx = np.full(self.n_feat, -1, np.int32)
-            inl = np.asarray(res.inliers)
+            inl = np.asarray(res.inliers)[:Pn]
             lm_idx[f1[inl]] = lm[inl]
             pose, n_inl, inliers = self._optimize_pose(
                 feats, lm_idx, np.asarray(res.Tcw, np.float32)
@@ -929,33 +957,35 @@ class Tracker:
             return False
         forced = (self.force_kf_every > 0
                   and self.frame_id >= self.last_kf_frame + self.force_kf_every)
-        if self.mapping_busy_fn is not None and self.mapping_busy_fn():
-            if forced:
-                self.deferred_kf += 1
-            return False
-        if forced:
-            self._create_keyframe(feats, timestamp)
-            return True
-        ref_matches = self._ref_kf_tracked()
-        depth = np.asarray(feats.depth)
-        valid = np.asarray(feats.valid)
-        close = valid & (depth > 0) & (depth < self.th_depth_m)
-        tracked_close = close & (self.cur_lm_idx >= 0)
-        non_tracked_close = close & (self.cur_lm_idx < 0)
-        need_close = self._need_close(int(tracked_close.sum()),
-                                      int(non_tracked_close.sum()))
+        want = forced
+        if not want:
+            ref_matches = self._ref_kf_tracked()
+            depth = np.asarray(feats.depth)
+            valid = np.asarray(feats.valid)
+            close = valid & (depth > 0) & (depth < self.th_depth_m)
+            tracked_close = close & (self.cur_lm_idx >= 0)
+            non_tracked_close = close & (self.cur_lm_idx < 0)
+            need_close = self._need_close(int(tracked_close.sum()),
+                                          int(non_tracked_close.sum()))
 
-        # reference thRefRatio: mono 0.9, stereo/RGBD 0.75; 0.4 with ≤ 2 KFs
-        th_ref = 0.75
-        if self.map.n_kf < 2:
-            th_ref = 0.4
-        if self.is_mono:
-            th_ref = 0.9
-        c1a = self.frame_id >= self.last_kf_frame + self.max_frames
-        c1b = self.frame_id >= self.last_kf_frame + self.min_frames
-        c1c = n_inl < ref_matches * 0.25 or need_close
-        c2 = (n_inl < ref_matches * th_ref or need_close) and n_inl > 15
-        if not ((c1a or c1b or c1c) and c2):
+            # reference thRefRatio: mono 0.9, stereo/RGBD 0.75; 0.4 ≤2 KFs
+            th_ref = 0.75
+            if self.map.n_kf < 2:
+                th_ref = 0.4
+            if self.is_mono:
+                th_ref = 0.9
+            c1a = self.frame_id >= self.last_kf_frame + self.max_frames
+            c1b = self.frame_id >= self.last_kf_frame + self.min_frames
+            c1c = n_inl < ref_matches * 0.25 or need_close
+            c2 = (n_inl < ref_matches * th_ref or need_close) and n_inl > 15
+            want = (c1a or c1b or c1c) and c2
+        if not want:
+            return False
+        # the busy-gate declines AFTER the policy decision so every
+        # starved insertion is visible (reference InterruptBA instead
+        # aborts the mapping BA — we count what the gate costs)
+        if self.mapping_busy_fn is not None and self.mapping_busy_fn():
+            self.deferred_kf += 1
             return False
         self._create_keyframe(feats, timestamp)
         return True
@@ -1014,6 +1044,10 @@ class Tracker:
         self.last_kf_frame = self.frame_id
         self.new_kf_id = kf_id
         self.new_kf_ids = [kf_id]
+        if self.kf_feats_hook is not None:
+            df = self._pending_device_feats
+            self.kf_feats_hook(kf_id, df if df is not None else feats)
+            self._pending_device_feats = None
 
     # ------------------------------------------------------------------
     def _unproject(self, uv: np.ndarray, depth: np.ndarray, Tcw) -> np.ndarray:
@@ -1187,24 +1221,26 @@ class Tracker:
             return False
         forced = (self.force_kf_every > 0
                   and self.frame_id >= self.last_kf_frame + self.force_kf_every)
-        if self.mapping_busy_fn is not None and self.mapping_busy_fn():
-            if forced:
-                self.deferred_kf += 1
+        want = forced
+        if not want:
+            ref_matches = self._ref_kf_tracked()
+            need_close = self._need_close(tracked_close, nontracked_close)
+            th_ref = 0.75
+            if self.map.n_kf < 2:
+                th_ref = 0.4
+            if self.is_mono:
+                th_ref = 0.9
+            c1a = self.frame_id >= self.last_kf_frame + self.max_frames
+            c1b = self.frame_id >= self.last_kf_frame + self.min_frames
+            c1c = n_inl < ref_matches * 0.25 or need_close
+            c2 = (n_inl < ref_matches * th_ref or need_close) and n_inl > 15
+            want = (c1a or c1b or c1c) and c2
+        if not want:
             return False
-        if forced:
-            return True
-        ref_matches = self._ref_kf_tracked()
-        need_close = self._need_close(tracked_close, nontracked_close)
-        th_ref = 0.75
-        if self.map.n_kf < 2:
-            th_ref = 0.4
-        if self.is_mono:
-            th_ref = 0.9
-        c1a = self.frame_id >= self.last_kf_frame + self.max_frames
-        c1b = self.frame_id >= self.last_kf_frame + self.min_frames
-        c1c = n_inl < ref_matches * 0.25 or need_close
-        c2 = (n_inl < ref_matches * th_ref or need_close) and n_inl > 15
-        return (c1a or c1b or c1c) and c2
+        if self.mapping_busy_fn is not None and self.mapping_busy_fn():
+            self.deferred_kf += 1
+            return False
+        return True
 
     def _accept_fused(self, out, host, timestamp: float,
                       timer=None) -> TrackResult:
@@ -1241,6 +1277,7 @@ class Tracker:
 
         created = False
         if self._fast_kf_policy(n_inl, int(n_tc), int(n_ntc)):
+            self._pending_device_feats = out.feats
             if timer is not None:
                 with timer.stage("new_kf"):
                     self._create_keyframe(self._download_feats(out.feats),

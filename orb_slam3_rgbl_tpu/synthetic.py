@@ -215,6 +215,21 @@ def loop_trajectory(n: int, radius: float = 18.0) -> np.ndarray:
     return np.stack(poses)
 
 
+def multi_loop_trajectory(n: int, radius: float = 18.0,
+                          period: int = 84) -> np.ndarray:
+    """(n, 7) continuous multi-lap circle (phase keeps advancing — no
+    pose jump at the lap seam, unlike concatenating ``loop_trajectory``
+    slices). ``period`` frames per full revolution."""
+    poses = []
+    for i in range(n):
+        th = 2.0 * np.pi * i / period
+        q = np.array([np.cos(th / 2), 0.0, np.sin(th / 2), 0.0], np.float32)
+        x = radius * (1.0 - np.cos(th))
+        z = radius * np.sin(th)
+        poses.append(np.concatenate([q, [x, 0.0, z]]).astype(np.float32))
+    return np.stack(poses)
+
+
 def twc_to_tcw(Twc: np.ndarray) -> np.ndarray:
     return np.asarray(lie.se3_inv(jnp.asarray(Twc)), np.float32)
 

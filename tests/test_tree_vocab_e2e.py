@@ -1,9 +1,11 @@
 """Trained tree-vocabulary retrieval end-to-end (round 4, VERDICT #9):
 train the DBoW2-equivalent k-ary vocabulary on rendered-world ORB
-descriptors in-test, drive the box-world loop with ``TreeVocabulary``
-instead of the default LSH words, and compare loop-retrieval recall@3
-between the two schemes (reference ``TemplatedVocabulary`` create +
-transform, ``TemplatedVocabulary.h:135-162``)."""
+descriptors in-test, compare loop-retrieval recall@3 against the default
+LSH words on the SAME frozen map (apples-to-apples — a live loop-closing
+run merges the revisit into the covisible set and poisons the metric),
+then drive the full engine with the tree vocabulary and close a loop
+(reference ``TemplatedVocabulary`` create + transform,
+``TemplatedVocabulary.h:135-162``)."""
 
 import dataclasses
 
@@ -13,6 +15,7 @@ import pytest
 
 from orb_slam3_rgbl_tpu import synthetic as syn
 from orb_slam3_rgbl_tpu.geometry.align import ate_rmse
+from orb_slam3_rgbl_tpu.retrieval.keyframe_db import KeyFrameDatabase
 from orb_slam3_rgbl_tpu.slam.system import System
 from orb_slam3_rgbl_tpu.slam import tracking as trk
 
@@ -21,17 +24,16 @@ def _render_sequence():
     cfg = syn.synthetic_rgbl_config()
     cam = cfg.camera
     w = syn.make_box_world(0, tex_size=256)
-    lap = syn.loop_trajectory(84, radius=6.0)
-    traj = np.concatenate([lap, lap[:36]])
+    traj = syn.multi_loop_trajectory(120, radius=6.0, period=84)
     traj[:, 4] -= 6.0
     frames = []
-    for Twc in traj[:120]:
+    for Twc in traj:
         T = jnp.asarray(Twc)
         img = np.asarray(syn.render_image(w, T, cam.fx, cam.fy, cam.cx,
                                           cam.cy, cam.height, cam.width))
         pts = np.asarray(syn.lidar_scan(w, T, n_az=256, n_el=48))
         frames.append((img, pts))
-    return cfg, traj[:120], frames
+    return cfg, traj, frames
 
 
 def _drive(cfg, frames):
@@ -42,22 +44,29 @@ def _drive(cfg, frames):
     return sysm, states
 
 
-def _recall_at_3(sysm, traj):
-    """For every second-lap keyframe: does the top-3 retrieval contain a
-    spatially-near (≤3 m) early keyframe? (loop-retrieval recall)."""
-    m = sysm.map
-    db = sysm.loop_closer.db
+def _recall_at_3(db, m, traj):
+    """Pure-retrieval recall on a frozen map: for every revisit-stretch
+    keyframe, do the top-3 temporally-gated candidates contain a
+    spatially-near (≤3 m) early keyframe?"""
     hits, total = 0, 0
     for k in m.valid_kf_ids():
         fid = int(m.kf_frame_id[k])
-        if fid < 88:   # only the revisit stretch queries
+        if fid < 88:
             continue
         total += 1
-        cands = db.detect_candidates(m, int(k), 3)
+        scores, _ = db.query(db.vectors[k], np.asarray([k], np.int64))
+        elig = np.zeros_like(scores, bool)
+        for c in m.valid_kf_ids():
+            if fid - int(m.kf_frame_id[c]) > 30:
+                elig[c] = True
+        scores = np.where(elig, scores, 0.0)
+        top3 = np.argsort(-scores)[:3]
         p_query = traj[fid, 4:7]
-        for c in cands:
+        for c in top3:
+            if scores[c] <= 0:
+                continue
             cf = int(m.kf_frame_id[c])
-            if fid - cf > 30 and np.linalg.norm(traj[cf, 4:7] - p_query) < 3.0:
+            if np.linalg.norm(traj[cf, 4:7] - p_query) < 3.0:
                 hits += 1
                 break
     return hits / max(total, 1), total
@@ -69,13 +78,13 @@ class TestTreeVocabularyEndToEnd:
 
         cfg, traj, frames = _render_sequence()
 
-        # --- run 1: default LSH words (baseline recall) ----------------
+        # --- baseline drive (LSH words) builds the frozen map -----------
         sys_lsh, states1 = _drive(cfg, frames)
         assert np.mean([s == trk.OK for s in states1]) > 0.9
-        recall_lsh, n_q1 = _recall_at_3(sys_lsh, traj)
-
-        # --- train the tree vocabulary on THIS world's descriptors ----
         m = sys_lsh.map
+        recall_lsh, n_q = _recall_at_3(sys_lsh.loop_closer.db, m, traj)
+
+        # --- train the tree vocabulary on THIS world's descriptors ------
         kfs = m.valid_kf_ids()
         docs = [m.kf_desc[k][m.kf_feat_valid[k]] for k in kfs]
         desc = np.concatenate(docs)
@@ -83,20 +92,25 @@ class TestTreeVocabularyEndToEnd:
         path = str(tmp_path / "vocab.npz")
         voc.save(path)
 
-        # --- run 2: tree vocabulary through the full engine ------------
+        # --- offline recall on the SAME map with the tree vocabulary ----
+        db_tree = KeyFrameDatabase(m.capacity_kf, vocabulary=voc)
+        for k in kfs:
+            db_tree.add(int(k), m.kf_desc[k], m.kf_feat_valid[k])
+        recall_tree, n_q2 = _recall_at_3(db_tree, m, traj)
+        print(f"recall@3 on frozen map: LSH {recall_lsh:.2f}, "
+              f"tree {recall_tree:.2f} ({n_q} queries)")
+        assert n_q >= 3
+        # the trained tree must retrieve the revisit at least half the
+        # time and be in the same league as the LSH baseline
+        assert recall_tree >= 0.5, (recall_tree, recall_lsh)
+        assert recall_tree >= recall_lsh - 0.34, (recall_tree, recall_lsh)
+
+        # --- full engine drive with the tree vocabulary -----------------
         cfg2 = dataclasses.replace(cfg, vocab_path=path)
         sys_tree, states2 = _drive(cfg2, frames)
         assert np.mean([s == trk.OK for s in states2]) > 0.9
         assert sys_tree.loop_closer.db.vocabulary is not None, \
             "vocab_path did not reach the KeyFrameDatabase"
-        recall_tree, n_q2 = _recall_at_3(sys_tree, traj)
-
-        print(f"recall@3: LSH {recall_lsh:.2f} ({n_q1} queries), "
-              f"tree {recall_tree:.2f} ({n_q2} queries)")
-        assert n_q2 >= 3
-        # the trained tree must retrieve the revisit at least half the time
-        # and the full pipeline must close the loop with it
-        assert recall_tree >= 0.5, (recall_tree, recall_lsh)
         assert len(sys_tree.loop_closer.events) >= 1, \
             "tree-vocabulary run closed no loop"
         ev = sys_tree.loop_closer.events[0]
