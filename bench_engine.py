@@ -107,6 +107,17 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     if cadence > 0 and sysm.tracker is not None:
         sysm.tracker.force_kf_every = cadence
         sysm.tracker.deferred_kf = 0
+    if sysm.loop_closer is not None:
+        # fix the loop-time solver shapes at generous tiers and compile
+        # them now (the first event otherwise stalls ~80 s on tunnel
+        # compiles mid-run; a deployment pays this once at startup)
+        sysm.loop_closer.gba_tiers = (256, 8192)
+        sysm.loop_closer.pg_tiers = (256, 1024)
+        expect_kf = (n_frames - warmup) // max(cadence, 1) + 16
+        sysm.loop_closer.prewarm(n_kf_hint=expect_kf, lm_hint=8192,
+                                 pair_tiers=(256, 512, 1024))
+    if sysm.mapper is not None:
+        sysm.mapper.prewarm()     # local-BA landmark tiers
     log(f"warmup {warmup} frames: {time.perf_counter()-t0:.1f}s")
 
     # ---- timed engine loop ----------------------------------------------

@@ -207,6 +207,7 @@ def bundle_adjust(
     cam: PinholeCamera,
     iterations: int = 10,
     huber_iters: int = 7,
+    n_iters=None,
 ) -> BAResult:
     """Damped Gauss-Newton (LM) with landmark Schur elimination.
 
@@ -214,13 +215,20 @@ def bundle_adjust(
     ~10 abortable iterations with Huber, then outlier classification at
     chi2 thresholds and a writeback. Accept/reject per iteration keeps the
     solve monotone (branchless — both candidates evaluated).
+
+    ``n_iters``: optional TRACED iteration count ≤ ``iterations`` — the
+    abortable-BA analog (reference ``mbAbortBA``): the mapping plane
+    throttles the budget at runtime without compiling a new executable
+    (``iterations`` is static — every distinct value is a fresh program).
     """
     K = problem.poses.shape[0]
     dtype = problem.poses.dtype
     chi2_th = jnp.where(problem.obs_ur >= 0, CHI2_STEREO, CHI2_MONO)
+    n_iters_t = (jnp.asarray(iterations, jnp.int32) if n_iters is None
+                 else jnp.asarray(n_iters, jnp.int32))
 
-    def body(it, carry):
-        poses, lms, lam, obs_active, _ = carry
+    def body(carry):
+        it, poses, lms, lam, obs_active, _ = carry
         P = problem._replace(poses=poses, landmarks=lms)
         use_huber = it < huber_iters
         r, Jp, Jl, w, chi2, active, cost = _linearize(P, cam, use_huber, obs_active)
@@ -246,11 +254,15 @@ def bundle_adjust(
         r3, *_ = _linearize(P3, cam, False, obs_active)
         chi2_now = jnp.sum(r3 * r3, axis=-1) * problem.obs_inv_sigma2
         new_active = jnp.where(cull_now, obs_active & (chi2_now <= 2.0 * chi2_th), obs_active)
-        return poses, lms, lam, new_active, jnp.where(accept, cost_new, cost)
+        return (it + 1, poses, lms, lam, new_active,
+                jnp.where(accept, cost_new, cost))
 
-    poses, lms, _, obs_active, cost = jax.lax.fori_loop(
-        0, iterations, body,
-        (problem.poses, problem.landmarks, jnp.asarray(1e-4, dtype),
+    # while_loop with a TRACED trip count: the iteration budget varies at
+    # runtime (mapping-pressure throttle) without a recompile per value
+    _, poses, lms, _, obs_active, cost = jax.lax.while_loop(
+        lambda c: c[0] < n_iters_t, body,
+        (jnp.asarray(0, jnp.int32), problem.poses, problem.landmarks,
+         jnp.asarray(1e-4, dtype),
          jnp.asarray(problem.obs_mask), jnp.asarray(jnp.inf, dtype)),
     )
 

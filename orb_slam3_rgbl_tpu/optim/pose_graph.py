@@ -71,13 +71,26 @@ def optimize_pose_graph(
         scale_mask = jnp.tile(jnp.array([1, 1, 1, 1, 1, 1, 0], bool), (K,))
         free7 = free7 & scale_mask
 
-    def body(_, nodes):
+    w_e = jnp.where(problem.edge_valid,
+                    problem.edge_weight.astype(dtype), jnp.zeros((), dtype))
+
+    def edge_cost(nodes):
+        r = res_fn(nodes[problem.edge_i], nodes[problem.edge_j],
+                   problem.edge_Sij, zero7, zero7)
+        return jnp.sum(w_e * jnp.sum(r * r, axis=-1))
+
+    def body(_, carry):
+        # damped accept/reject (LM): plain GN in f32 can diverge on an
+        # ill-conditioned essential graph — a diverged correction wrote
+        # ~1e18 keyframe poses on TPU before this guard
+        nodes, lam = carry
         Si = nodes[problem.edge_i]
         Sj = nodes[problem.edge_j]
         r = res_fn(Si, Sj, problem.edge_Sij, zero7, zero7)     # (E, 7)
         Ji = Ji_fn(Si, Sj, problem.edge_Sij)                    # (E, 7, 7)
         Jj = Jj_fn(Si, Sj, problem.edge_Sij)
-        w = jnp.where(problem.edge_valid, problem.edge_weight.astype(dtype), jnp.zeros((), dtype))
+        w = w_e
+        cost0 = jnp.sum(w * jnp.sum(r * r, axis=-1))
 
         oh_i = jax.nn.one_hot(problem.edge_i, K, dtype=dtype)   # (E, K)
         oh_j = jax.nn.one_hot(problem.edge_j, K, dtype=dtype)
@@ -98,15 +111,24 @@ def optimize_pose_graph(
         ).reshape(7 * K)
 
         H = jnp.where(free7[:, None] & free7[None, :], H, jnp.zeros((), dtype))
+        H = H + lam * jnp.diag(jnp.diag(H))
         H = H + jnp.diag(jnp.where(free7, jnp.asarray(1e-6, dtype), jnp.asarray(1.0, dtype)))
         b = jnp.where(free7, b, jnp.zeros((), dtype))
         tau = -jnp.linalg.solve(H, b).reshape(K, 7)
         tau = jnp.where(free[:, None], tau, 0.0)
         if fix_scale:
             tau = tau.at[:, 6].set(0.0)
-        return lie.sim3_mul(lie.sim3_exp(tau), nodes)
+        new_nodes = lie.sim3_mul(lie.sim3_exp(tau), nodes)
+        cost1 = edge_cost(new_nodes)
+        ok = jnp.isfinite(cost1) & (cost1 < cost0)
+        nodes = jnp.where(ok, new_nodes, nodes)
+        lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-8),
+                        jnp.minimum(lam * 4.0, 1e4))
+        return nodes, lam
 
-    return jax.lax.fori_loop(0, iterations, body, problem.nodes)
+    nodes, _ = jax.lax.fori_loop(
+        0, iterations, body, (problem.nodes, jnp.asarray(1e-4, dtype)))
+    return nodes
 
 
 def relative_sim3(nodes: jax.Array, i, j) -> jax.Array:
@@ -165,13 +187,23 @@ def optimize_pose_graph_4dof(
     free = (~problem.node_fixed) & problem.node_valid
     free4 = jnp.repeat(free, 4)
 
-    def body(_, nodes):
+    w_e = jnp.where(problem.edge_valid,
+                    problem.edge_weight.astype(dtype), jnp.zeros((), dtype))
+
+    def edge_cost(nodes):
+        r = res_fn(nodes[problem.edge_i], nodes[problem.edge_j],
+                   problem.edge_Sij, zero4, zero4)
+        return jnp.sum(w_e * jnp.sum(r * r, axis=-1))
+
+    def body(_, carry):
+        nodes, lam = carry
         Si = nodes[problem.edge_i]
         Sj = nodes[problem.edge_j]
         r = res_fn(Si, Sj, problem.edge_Sij, zero4, zero4)      # (E, 7)
         Ji = Ji_fn(Si, Sj, problem.edge_Sij)                     # (E, 7, 4)
         Jj = Jj_fn(Si, Sj, problem.edge_Sij)
-        w = jnp.where(problem.edge_valid, problem.edge_weight.astype(dtype), jnp.zeros((), dtype))
+        w = w_e
+        cost0 = jnp.sum(w * jnp.sum(r * r, axis=-1))
 
         oh_i = jax.nn.one_hot(problem.edge_i, K, dtype=dtype)
         oh_j = jax.nn.one_hot(problem.edge_j, K, dtype=dtype)
@@ -191,11 +223,20 @@ def optimize_pose_graph_4dof(
         ).reshape(4 * K)
 
         H = jnp.where(free4[:, None] & free4[None, :], H, jnp.zeros((), dtype))
+        H = H + lam * jnp.diag(jnp.diag(H))
         H = H + jnp.diag(jnp.where(free4, jnp.asarray(1e-6, dtype), jnp.asarray(1.0, dtype)))
         b = jnp.where(free4, b, jnp.zeros((), dtype))
         delta = -jnp.linalg.solve(H, b).reshape(K, 4)
         delta = jnp.where(free[:, None], delta, 0.0)
         tau = delta @ B.T                                        # (K, 7)
-        return lie.sim3_mul(nodes, lie.sim3_exp(tau))
+        new_nodes = lie.sim3_mul(nodes, lie.sim3_exp(tau))
+        cost1 = edge_cost(new_nodes)
+        ok = jnp.isfinite(cost1) & (cost1 < cost0)
+        nodes = jnp.where(ok, new_nodes, nodes)
+        lam = jnp.where(ok, jnp.maximum(lam * 0.5, 1e-8),
+                        jnp.minimum(lam * 4.0, 1e4))
+        return nodes, lam
 
-    return jax.lax.fori_loop(0, iterations, body, problem.nodes)
+    nodes, _ = jax.lax.fori_loop(
+        0, iterations, body, (problem.nodes, jnp.asarray(1e-4, dtype)))
+    return nodes

@@ -258,6 +258,8 @@ class LocalMapper:
         self.is_mono = config.sensor in (0, 3)  # MONOCULAR / IMU_MONOCULAR
         self.timer = None           # StageTimer (REGISTER_TIMES LocalMapping
         #   taxonomy: kf_insert/mp_cull/mp_create/lba/kf_cull)
+        self._last_job_s = 0.0      # wall time of the previous mapping job
+        self.lba_budget_s = 0.4     # above this, LBA iterations throttle
 
     def _stage(self, name):
         import contextlib
@@ -265,8 +267,31 @@ class LocalMapper:
         return (self.timer.stage(name) if self.timer is not None
                 else contextlib.nullcontext())
 
+    def prewarm(self, lm_tiers=(4096, 8192)):
+        """Compile the local-BA solver at every landmark capacity tier the
+        run will cross (each tier is its own XLA program — a mid-run tier
+        crossing otherwise stalls ~35 s on the measurement tunnel)."""
+        for Mw in lm_tiers:
+            prob = local_ba.BAProblem(
+                poses=jnp.asarray(np.tile(
+                    np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
+                    (BA_POSES_CAP, 1))),
+                pose_fixed=jnp.asarray(np.arange(BA_POSES_CAP) == 0),
+                pose_valid=jnp.ones(BA_POSES_CAP, bool),
+                landmarks=jnp.zeros((Mw, 3)) + jnp.asarray([0.0, 0.0, 10.0]),
+                lm_valid=jnp.ones(Mw, bool),
+                obs_kf=jnp.zeros((Mw, BA_OBS_CAP), jnp.int32),
+                obs_uv=jnp.full((Mw, BA_OBS_CAP, 2), 100.0),
+                obs_ur=jnp.full((Mw, BA_OBS_CAP), -1.0),
+                obs_inv_sigma2=jnp.ones((Mw, BA_OBS_CAP)),
+                obs_mask=jnp.ones((Mw, BA_OBS_CAP), bool))
+            local_ba.bundle_adjust(prob, self.geo_cam, n_iters=1)
+
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, run_ba: bool = True):
+        import time as _time
+
+        _t0 = _time.perf_counter()
         with self._stage("kf_insert"):
             self.map.update_landmark_stats(np.array([kf_id]))
         with self._stage("mp_cull"):
@@ -284,9 +309,16 @@ class LocalMapper:
                 if self.cfg.inertial and self.map.imu_initialized:
                     self.local_inertial_bundle_adjustment(kf_id)
                 else:
-                    self.local_bundle_adjustment(kf_id)
+                    # pressure-adaptive iteration budget — the reference
+                    # ABORTS local BA when the next keyframe arrives
+                    # (mbAbortBA, Optimizer.cc:1173); here the previous
+                    # job's wall time throttles the budget instead so the
+                    # async plane keeps up with the keyframe cadence
+                    iters = 10 if self._last_job_s < self.lba_budget_s else 5
+                    self.local_bundle_adjustment(kf_id, n_iters=iters)
         with self._stage("kf_cull"):
             self._keyframe_culling(kf_id)
+        self._last_job_s = _time.perf_counter() - _t0
 
     # ------------------------------------------------------------------
     def _fuse_into(self, kf: int, lm_ids: np.ndarray, counts: np.ndarray,
@@ -435,9 +467,10 @@ class LocalMapper:
             # Replace merges the visibility statistics (MapPoint::Replace)
             np.add.at(m.lm_found, winners, m.lm_found[losers])
             np.add.at(m.lm_visible, winners, m.lm_visible[losers])
-            m.lm_valid[losers] = False
-            m.lm_gen[losers] += 1
-            m.lm_free.extend(int(i) for i in losers)
+            with m.alloc_lock:
+                m.lm_valid[losers] = False
+                m.lm_gen[losers] += 1
+                m.lm_free.extend(int(i) for i in losers)
         if n_ops:
             # a keyframe may now bind one landmark at two feature slots
             # (Replace remap collisions) — restore the one-obs-per-pair
@@ -604,7 +637,8 @@ class LocalMapper:
         return (z > 0.1) & np.nan_to_num(err2 < chi2 * sigma2, nan=False)
 
     # ------------------------------------------------------------------
-    def local_bundle_adjustment(self, kf_id: int, iterations: int = 10):
+    def local_bundle_adjustment(self, kf_id: int, iterations: int = 10,
+                                n_iters=None):
         """Assemble the covisibility window and run the Schur BA
         (reference ``Optimizer::LocalBundleAdjustment`` semantics: current
         KF + covisible neighbors optimized, their landmarks, plus fixed
@@ -696,7 +730,8 @@ class LocalMapper:
             obs_inv_sigma2=jnp.asarray(pad_obs(inv_s2)),
             obs_mask=jnp.asarray(pad_obs(obs_mask)),
         )
-        res = local_ba.bundle_adjust(problem, self.geo_cam, iterations=iterations)
+        res = local_ba.bundle_adjust(problem, self.geo_cam,
+                                     iterations=iterations, n_iters=n_iters)
 
         # writeback (the reference takes mMutexMapUpdate; here it is just
         # array stores bumping the version)

@@ -88,6 +88,13 @@ class LoopCloser:
         # graph (reference KeyFrame::mLoopEdges / mMergeEdges)
         self.extra_edges: list = []   # (kf_a, kf_b, S_ab (8,), weight)
         self.run_gba = run_gba
+        # shape-tier floors for the loop-time solvers: a production run
+        # sets these generously ONCE (+ prewarm) so every event reuses one
+        # compiled program — per-tier recompiles cost tens of seconds on
+        # the measurement tunnel (gba: (pose_tier, lm_tier); pg: (nodes,
+        # edges) floors)
+        self.gba_tiers = (32, 1024)
+        self.pg_tiers = (64, 128)
         # wired by System when the async mapping plane is on: schedules
         # the post-loop GBA as its own abortable job (the reference's
         # transient GBA thread, LoopClosing.cc:1206); None → synchronous
@@ -95,6 +102,103 @@ class LoopCloser:
         self._key = jax.random.PRNGKey(7)
 
     # ------------------------------------------------------------------
+    def prewarm(self, n_kf_hint: int = 96, lm_hint: int = 8192,
+                pair_tiers=(256, 512)):
+        """Compile the loop-closure-time XLA programs ahead of the first
+        event. The first loop otherwise pays every compile (Sim3 RANSAC +
+        refine, guided matching, pose graph, chunked GBA) as a mid-run
+        stall — ~80 s on the measurement tunnel; a deployment calls this
+        once at startup (the reference's analog is its vocabulary load)."""
+        import numpy as _np
+        from orb_slam3_rgbl_tpu.optim import global_ba as _gba
+        from orb_slam3_rgbl_tpu.slam.ba_assembly import _tier
+        from orb_slam3_rgbl_tpu.optim.local_ba import BAProblem
+
+        m = self.map
+        N = m.n_features
+        rngk = jax.random.PRNGKey(0)
+        # -- Sim3 verification at the padded pair tiers ------------------
+        for cap in pair_tiers:
+            pts = _np.linspace(1.0, 2.0, cap * 3).reshape(cap, 3).astype(_np.float32)
+            uv = _np.tile(_np.array([[100.0, 100.0]], _np.float32), (cap, 1))
+            s2 = _np.ones(cap, _np.float32)
+            vm = _np.zeros(cap, bool)
+            vm[: max(cap // 4, 30)] = True
+            res = sim3_opt.sim3_ransac(
+                jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(uv),
+                jnp.asarray(uv), jnp.asarray(s2), jnp.asarray(s2),
+                jnp.asarray(vm), self.cam, rngk, n_hypotheses=512,
+                fix_scale=self.fix_scale)
+            sim3_opt.optimize_sim3(
+                res.S12, jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(uv),
+                jnp.asarray(uv), jnp.asarray(s2), jnp.asarray(s2),
+                res.inliers, self.cam, fix_scale=self.fix_scale)
+        # -- guided / fuse / reloc windowed matching variants ------------
+        # (th and ratio are STATIC jit args — every distinct combination
+        # used at loop/reloc time is its own executable)
+        for cap, th in ((N, matching.TH_LOW), (2 * N, matching.TH_LOW),
+                        (N, matching.TH_HIGH)):
+            matching.windowed_projection_match(
+                jnp.zeros((cap, 2)), jnp.zeros(cap, bool),
+                jnp.zeros((cap, 8), jnp.uint32), jnp.zeros(cap, jnp.int32),
+                jnp.zeros((N, 2)), jnp.zeros(N, bool),
+                jnp.zeros((N, 8), jnp.uint32), jnp.zeros(N, jnp.int32),
+                jnp.full(cap, 4.0), th=th)
+        # loop-verification / relocalization descriptor matching (ratio
+        # 0.75 + rotation histogram — tracking warms only 0.7/0.8)
+        d = matching.distance_table(
+            jnp.zeros((N, 8), jnp.uint32), jnp.zeros((N, 8), jnp.uint32),
+            jnp.zeros(N, bool), jnp.zeros(N, bool))
+        matching.mutual_best_match(d, jnp.zeros(N), jnp.zeros(N),
+                                   th=matching.TH_LOW, ratio=0.75,
+                                   check_rotation=True)
+        matching.mutual_best_match(d, th=matching.TH_LOW, ratio=0.75,
+                                   check_rotation=False)
+        # relocalization PnP at the first pair tier
+        from orb_slam3_rgbl_tpu.optim import pnp as _pnp
+
+        capr = pair_tiers[0]
+        _pnp.rigid_pnp_ransac(
+            jnp.zeros((capr, 3)) + jnp.asarray([0.0, 0.0, 5.0]),
+            jnp.zeros((capr, 3)) + jnp.asarray([0.0, 0.0, 5.0]),
+            jnp.full((capr, 2), 100.0), jnp.ones(capr),
+            jnp.concatenate([jnp.ones(32, bool), jnp.zeros(capr - 32, bool)]),
+            self.cam, rngk)
+        # -- essential graph at the expected node/edge tiers -------------
+        from orb_slam3_rgbl_tpu.slam.ba_assembly import _tier as _t
+
+        for K in {self.pg_tiers[0], _t(n_kf_hint, self.pg_tiers[0])}:
+            E = _t(2 * K, self.pg_tiers[1])
+            ident = _np.tile(_np.array([1, 0, 0, 0, 0, 0, 0, 1], _np.float32), (K, 1))
+            eS = _np.tile(_np.array([1, 0, 0, 0, 0, 0, 0, 1], _np.float32), (E, 1))
+            prob = pose_graph.PoseGraphProblem(
+                nodes=jnp.asarray(ident),
+                node_fixed=jnp.asarray(_np.arange(K) == 0),
+                node_valid=jnp.ones(K, bool),
+                edge_i=jnp.asarray((_np.arange(E) % (K - 1) + 1).astype(_np.int32)),
+                edge_j=jnp.zeros(E, jnp.int32),
+                edge_Sij=jnp.asarray(eS),
+                edge_weight=jnp.ones(E, jnp.float32),
+                edge_valid=jnp.ones(E, bool))
+            pose_graph.optimize_pose_graph(prob, iterations=20,
+                                           fix_scale=self.fix_scale)
+        # -- chunked GBA at the expected pose/landmark tiers -------------
+        for K in {self.gba_tiers[0], _t(n_kf_hint, self.gba_tiers[0])}:
+            Mp = _t(lm_hint, self.gba_tiers[1])
+            prob = BAProblem(
+                poses=jnp.asarray(_np.tile(
+                    _np.array([1, 0, 0, 0, 0, 0, 0], _np.float32), (K, 1))),
+                pose_fixed=jnp.asarray(_np.arange(K) == 0),
+                pose_valid=jnp.ones(K, bool),
+                landmarks=jnp.zeros((Mp, 3)) + jnp.asarray([0.0, 0.0, 10.0]),
+                lm_valid=jnp.ones(Mp, bool),
+                obs_kf=jnp.zeros((Mp, 8), jnp.int32),
+                obs_uv=jnp.full((Mp, 8, 2), 100.0),
+                obs_ur=jnp.full((Mp, 8), -1.0),
+                obs_inv_sigma2=jnp.ones((Mp, 8)),
+                obs_mask=jnp.ones((Mp, 8), bool))
+            _gba.global_bundle_adjust(prob, self.cam, iterations=2)
+
     def on_keyframe(self, kf_id: int, run_pose_graph: bool = True) -> Optional[LoopEvent]:
         """Detect + (if verified) correct a loop for the new keyframe, then
         index it. Returns the LoopEvent when a loop was closed."""
@@ -423,9 +527,10 @@ class LoopCloser:
             winners = remap[losers]
             np.add.at(m.lm_found, winners, m.lm_found[losers])
             np.add.at(m.lm_visible, winners, m.lm_visible[losers])
-            m.lm_valid[losers] = False
-            m.lm_gen[losers] += 1
-            m.lm_free.extend(int(i) for i in losers)
+            with m.alloc_lock:
+                m.lm_valid[losers] = False
+                m.lm_gen[losers] += 1
+                m.lm_free.extend(int(i) for i in losers)
         # restore the one-observation-per-(KF, landmark) invariant after
         # every fusion pass (Replace collisions can alias two slots)
         from orb_slam3_rgbl_tpu.slam.map_state import dedup_kf_bindings
@@ -491,8 +596,8 @@ class LoopCloser:
         # recompile-tier mitigation, same as ba_assembly)
         from orb_slam3_rgbl_tpu.slam.ba_assembly import _tier
 
-        Kp = _tier(K, 64)
-        Ep = _tier(len(ei), 128)
+        Kp = _tier(K, self.pg_tiers[0])
+        Ep = _tier(len(ei), self.pg_tiers[1])
         nodes_p = np.tile(np.array([1, 0, 0, 0, 0, 0, 0, 1], np.float32), (Kp, 1))
         nodes_p[:K] = nodes
         E = len(ei)
@@ -531,6 +636,17 @@ class LoopCloser:
             new_nodes = nodes
 
         new_nodes = np.asarray(new_nodes)[:K]
+        # last line of defense: never write a diverged f32 solve into the
+        # map (the pose graph is damped + accept/reject, but a correction
+        # can only ever move poses by ~the loop drift, not orders of
+        # magnitude — reject wholesale and keep the detected edge)
+        drift_bound = 10.0 * (1.0 + np.abs(old_nodes[:, 4:7]).max())
+        if (not np.isfinite(new_nodes).all()
+                or np.abs(new_nodes[:, 4:7] - old_nodes[:, 4:7]).max() > drift_bound):
+            from orb_slam3_rgbl_tpu.utils.logging import log
+
+            log("loop correction REJECTED: pose-graph result out of bounds")
+            new_nodes = old_nodes
         # landmark correction via reference keyframes: X ← S_ref_new⁻¹ · S_ref_old · X
         lm_ids = np.nonzero(m.lm_valid)[0]
         ref = m.lm_ref_kf[lm_ids]
@@ -585,7 +701,8 @@ class LoopCloser:
         m = self.map
         inv_s2 = np.asarray(inv_scale_sigma2(self.cfg.orb.n_levels, self.cfg.orb.scale_factor))
         problem, window, lm_ids, obs_kf, obs_feat = ba_assembly.build_full_problem(
-            m, inv_s2
+            m, inv_s2, min_pose_tier=self.gba_tiers[0],
+            min_lm_tier=self.gba_tiers[1],
         )
         pose_before = m.kf_pose.copy()       # staging (mTcwBefGBA analog)
         lm_gen_before = m.lm_gen[lm_ids].copy()
@@ -614,6 +731,15 @@ class LoopCloser:
         m = self.map
         new_poses = np.asarray(res.poses, np.float32)[: len(window)]
         new_lms = np.asarray(res.landmarks, np.float32)[: len(lm_ids)]
+        # reject a diverged solve wholesale (guards exist inside the
+        # solver; this is the final writeback gate)
+        bound = 10.0 * (1.0 + np.abs(pose_before[window][:, 4:7]).max())
+        if (not np.isfinite(new_poses).all() or not np.isfinite(new_lms).all()
+                or np.abs(new_poses[:, 4:7] - pose_before[window][:, 4:7]).max() > bound):
+            from orb_slam3_rgbl_tpu.utils.logging import log
+
+            log("GBA result REJECTED: out of bounds")
+            return
         in_window = np.zeros(m.capacity_kf, bool)
         in_window[window] = True
         in_solve = np.zeros(m.capacity_lm, bool)
@@ -662,9 +788,10 @@ class LoopCloser:
         bound = m.kf_lm_idx >= 0
         m.kf_lm_idx[bound] = remap[m.kf_lm_idx[bound]]
         losers = np.unique(cur_lms[keep])
-        m.lm_valid[losers] = False
-        m.lm_gen[losers] += 1
-        m.lm_free.extend(int(i) for i in losers)
+        with m.alloc_lock:
+            m.lm_valid[losers] = False
+            m.lm_gen[losers] += 1
+            m.lm_free.extend(int(i) for i in losers)
         from orb_slam3_rgbl_tpu.slam.map_state import dedup_kf_bindings
 
         dedup_kf_bindings(m)

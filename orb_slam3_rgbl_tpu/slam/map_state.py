@@ -77,6 +77,12 @@ class MapState:
     # recycled landmark slots (LIFO). Slot reuse is guarded by lm_gen:
     # consumers holding stale ids compare their remembered generation.
     lm_free: list = dataclasses.field(default_factory=list)
+    # slot-allocator lock: keyframe creation runs on the tracking thread
+    # while the async mapping worker culls/creates landmarks — both sides
+    # touch n_kf/n_lm/lm_free/lm_valid. The lock guards only the (cheap)
+    # allocation bookkeeping, never device compute — the analog of the
+    # reference's map mutex around MapPoint/KeyFrame insertion.
+    alloc_lock: object = dataclasses.field(default_factory=__import__("threading").RLock)
     # culled keyframe → (parent_id, T_culled_parent at cull time): the
     # spanning-tree-parent analog (reference KeyFrame::SetBadFlag stores
     # mTcp = Tcw · parent.Twc; SaveTrajectoryKITTI walks GetParent()
@@ -143,6 +149,13 @@ class MapState:
     # --- keyframe insertion -------------------------------------------------
     def add_keyframe(self, pose, uv, octave, desc, depth, ur, feat_valid, lm_idx,
                      timestamp: float, frame_id: int, angle=None) -> int:
+        with self.alloc_lock:
+            return self._add_keyframe_locked(
+                pose, uv, octave, desc, depth, ur, feat_valid, lm_idx,
+                timestamp, frame_id, angle)
+
+    def _add_keyframe_locked(self, pose, uv, octave, desc, depth, ur,
+                             feat_valid, lm_idx, timestamp, frame_id, angle):
         k = self.n_kf
         if k >= self.capacity_kf:
             raise RuntimeError("keyframe capacity exhausted")
@@ -206,16 +219,17 @@ class MapState:
         are never reused, but its maps are pointer graphs; here reuse keeps
         the arrays dense — stale references are detected via ``lm_gen``),
         then fresh slots, growing capacity on demand."""
-        n = pos.shape[0]
-        n_reuse = min(len(self.lm_free), n)
-        reuse = [self.lm_free.pop() for _ in range(n_reuse)]
-        fresh = n - n_reuse
-        if fresh and self.n_lm + fresh > self.capacity_lm:
-            self._grow_landmarks(fresh)
-        ids = np.asarray(
-            reuse + list(range(self.n_lm, self.n_lm + fresh)), np.int32
-        )
-        self.n_lm += fresh
+        with self.alloc_lock:
+            n = pos.shape[0]
+            n_reuse = min(len(self.lm_free), n)
+            reuse = [self.lm_free.pop() for _ in range(n_reuse)]
+            fresh = n - n_reuse
+            if fresh and self.n_lm + fresh > self.capacity_lm:
+                self._grow_landmarks(fresh)
+            ids = np.asarray(
+                reuse + list(range(self.n_lm, self.n_lm + fresh)), np.int32
+            )
+            self.n_lm += fresh
         n = ids.shape[0]
         self.lm_pos[ids] = pos
         self.lm_valid[ids] = True
@@ -366,9 +380,10 @@ class MapState:
         lm_ids = lm_ids[self.lm_valid[lm_ids]]
         if len(lm_ids) == 0:
             return
-        self.lm_valid[lm_ids] = False
-        self.lm_gen[lm_ids] += 1
-        self.lm_free.extend(int(i) for i in lm_ids)
+        with self.alloc_lock:
+            self.lm_valid[lm_ids] = False
+            self.lm_gen[lm_ids] += 1
+            self.lm_free.extend(int(i) for i in lm_ids)
         bad = np.zeros(self.capacity_lm + 1, bool)
         bad[lm_ids] = True
         valid = self.valid_kf_ids()

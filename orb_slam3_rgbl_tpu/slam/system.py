@@ -89,6 +89,13 @@ class System:
         self.async_mapping = False
         self._map_exec = None
         self._map_future = None
+        # keyframe queue to the mapping plane (reference
+        # LocalMapping::InsertKeyFrame queue; the tracker's busy gate is
+        # the reference's KeyframesInQueue() < 3 idle check — keyframe
+        # creation no longer blocks on the in-flight job)
+        from collections import deque
+
+        self._map_queue = deque()
         # the transient GBA job (reference LoopClosing.cc:1206 spawns a
         # thread; a new correction aborts a running solve via mbStopGBA)
         self._gba_exec = None
@@ -337,6 +344,7 @@ class System:
 
     def _spawn_components(self, n_feat: int):
         self._cancel_gba()
+        self._map_queue.clear()   # queued keyframes belong to the old map
         if self.atlas is None:
             self.atlas = Atlas(self.cfg, n_feat)
         next_frame = self.tracker.frame_id + 1 if self.tracker is not None else 0
@@ -345,12 +353,16 @@ class System:
         self.mapper = LocalMapper(self.cfg, self.map) if self._enable_mapping else None
         if self.mapper is not None:
             self.mapper.timer = self.timer
-        self.tracker.pre_kf_hook = self._join_mapping
+        self.tracker.pre_kf_hook = self._poll_mapping
         self.tracker.join_mapping_fn = self._join_mapping
         if self.mapper is not None:
             self.tracker.kf_feats_hook = self.mapper.dev_cache.add
+        # busy = the mapping plane is ≥ 2 keyframes behind (reference
+        # NeedNewKeyFrame checks KeyframesInQueue() < 3 + idle flag)
         self.tracker.mapping_busy_fn = (
-            lambda: self._map_future is not None and not self._map_future.done())
+            lambda: len(self._map_queue)
+            + (1 if self._map_future is not None
+               and not self._map_future.done() else 0) >= 2)
         if self._fast is not None:
             self.tracker.fast = self._fast
         if self.cfg.loop_closing:
@@ -368,11 +380,13 @@ class System:
         return self._post_track(res)
 
     def _join_mapping(self):
-        """Wait for the in-flight mapping/loop job (≡ the reference's
+        """Drain the mapping queue + in-flight job (≡ the reference's
         SetNotStop / queue-drain gates before structural operations).
         Atlas merges surfaced by the worker run HERE, on the calling
         thread — merging rebinds the tracker and must not race it."""
-        if self._map_future is not None:
+        while self._map_future is not None or self._map_queue:
+            if self._map_future is None:
+                self._submit_mapping_worker()
             pending = self._map_future.result()
             self._map_future = None
             if self._fast is not None:
@@ -383,6 +397,25 @@ class System:
                 self.tracker.flush_stat_buffer()
             if pending is not None:
                 self._try_merge(pending)
+        if self.loop_closer is not None:
+            self._poll_gba()
+
+    def _poll_mapping(self):
+        """Non-blocking structural checkpoint (pre-keyframe hook): land a
+        FINISHED job's merge/stats without waiting on a running one —
+        keyframe creation overlaps the mapping plane (the allocator lock
+        in MapState serializes the slot bookkeeping)."""
+        if self._map_future is not None and self._map_future.done():
+            pending = self._map_future.result()
+            self._map_future = None
+            if self._fast is not None:
+                self._fast.hold = False
+            if self.tracker is not None:
+                self.tracker.flush_stat_buffer()
+            if pending is not None:
+                self._try_merge(pending)
+            if self._map_queue:
+                self._submit_mapping_worker()
         if self.loop_closer is not None:
             self._poll_gba()
 
@@ -441,21 +474,48 @@ class System:
         if not self.async_mapping or self.cfg.inertial:
             self._mapping_job(kf_id, defer_merge=False)
             return
+        self._map_queue.append(kf_id)
+        if self._map_future is None or self._map_future.done():
+            self._poll_mapping()          # land a finished job first
+            if self._map_queue:
+                self._submit_mapping_worker()
+
+    def _submit_mapping_worker(self):
         if self._map_exec is None:
             from concurrent.futures import ThreadPoolExecutor
 
             self._map_exec = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="mapping")
-        if self._fast is not None:
-            self._fast.hold = True
-        self._map_future = self._map_exec.submit(
-            self._mapping_job, kf_id, True)
+        self._map_future = self._map_exec.submit(self._mapping_worker)
+
+    def _mapping_worker(self):
+        """Drain the keyframe queue sequentially (the reference's
+        LocalMapping::Run loop body). Returns the last merge candidate
+        (applied on the main thread at a structural point)."""
+        pending = None
+        while True:
+            try:
+                kf_id = self._map_queue.popleft()
+            except IndexError:
+                return pending
+            # hold the tracker's device-window refresh while THIS item
+            # mutates the arrays; release between items so a sustained
+            # backlog cannot starve the fast path of map updates
+            if self._fast is not None:
+                self._fast.hold = True
+            try:
+                out = self._mapping_job(kf_id, defer_merge=True)
+            finally:
+                if self._fast is not None:
+                    self._fast.hold = False
+            if out is not None:
+                pending = out
 
     def _post_track(self, res: TrackResult) -> TrackResult:
         """Mapping / loop-closing / recovery phases after the tracking
         stage (the reference's THREAD 2/3 handoffs, System.cc:198-217)."""
         if (self._map_future is not None and self._map_future.done()):
-            self._join_mapping()
+            self._poll_mapping()
         for kf_id in self.tracker.new_kf_ids:
             if kf_id == self.tracker.new_kf_ids[-1]:
                 self._dispatch_mapping(kf_id)
@@ -621,6 +681,12 @@ class System:
         # --- atlas bookkeeping --------------------------------------------
         self.atlas.entries.remove(active_entry)
         self.atlas.active_idx = self.atlas.entries.index(entry_old)
+        # queued mapping keyframes carry OLD active-map ids — remap
+        from collections import deque as _dq
+
+        self._map_queue = _dq(
+            int(res.kf_remap[k]) for k in list(self._map_queue)
+            if 0 <= k < len(res.kf_remap) and res.kf_remap[k] >= 0)
 
         # --- weld-window bundle adjustment (LoopClosing.cc:1623-1627;
         # inertial maps use MergeInertialBA, Optimizer.cc:4875 — here the
