@@ -455,3 +455,53 @@ def np_se3_centers(Tcw):
 
     q = Tcw[..., :4] * np.asarray([1.0, -1.0, -1.0, -1.0], np.float32)
     return (-np_quat_rotate(q, Tcw[..., 4:7])).astype(np.float32)
+
+
+def np_sim3_mul(S1, S2):
+    """Numpy Sim3 composition for (..., 8) [q, t, s] — host-side loop/
+    merge math runs on VARIABLE-length arrays; eager jnp ops would
+    compile a fresh tiny executable per length (observed: ~60 s of
+    0.4 s-compiles per loop event on the TPU tunnel)."""
+    import numpy as np
+
+    q = np_quat_mul(S1[..., :4], S2[..., :4])
+    t = S1[..., 7:8] * np_quat_rotate(S1[..., :4], S2[..., 4:7]) + S1[..., 4:7]
+    s = S1[..., 7:8] * S2[..., 7:8]
+    return np.concatenate([q, t, s], axis=-1).astype(np.float32)
+
+
+def np_sim3_inv(S):
+    import numpy as np
+
+    qi = S[..., :4] * np.asarray([1.0, -1.0, -1.0, -1.0], np.float32)
+    si = 1.0 / S[..., 7:8]
+    t = -si * np_quat_rotate(qi, S[..., 4:7])
+    return np.concatenate([qi, t, si], axis=-1).astype(np.float32)
+
+
+def np_sim3_apply(S, X):
+    """(..., 8) ∘ (..., 3): X' = s·R·X + t."""
+    return (S[..., 7:8] * np_quat_rotate(S[..., :4], X)
+            + S[..., 4:7]).astype(__import__("numpy").float32)
+
+
+def np_sim3_from_se3(T):
+    import numpy as np
+
+    ones = np.ones(T.shape[:-1] + (1,), np.float32)
+    return np.concatenate([np.asarray(T, np.float32), ones], axis=-1)
+
+
+def np_sim3_to_se3(S):
+    """Drop the scale into the translation-free SE3 part (the reference's
+    Sim3→SE3 writeback divides translation by scale: Tcw = [R | t/s])."""
+    import numpy as np
+
+    t = S[..., 4:7] / S[..., 7:8]
+    return np.concatenate([S[..., :4], t], axis=-1).astype(np.float32)
+
+
+def np_se3_apply(T, X):
+    """Numpy SE3 point transform for (..., 7) ∘ (..., 3)."""
+    return (np_quat_rotate(T[..., :4], X) + T[..., 4:7]).astype(
+        __import__("numpy").float32)

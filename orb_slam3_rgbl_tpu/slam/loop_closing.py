@@ -291,10 +291,12 @@ class LoopCloser:
         f1, f2, lm1, lm2 = f1[distinct], f2[distinct], lm1[distinct], lm2[distinct]
         if f1.size < 20:
             return None
-        T1 = jnp.asarray(m.kf_pose[kf_id])
-        T2 = jnp.asarray(m.kf_pose[cand])
-        p1_cam = np.asarray(lie.se3_apply(T1, jnp.asarray(m.lm_pos[lm1])))
-        p2_cam = np.asarray(lie.se3_apply(T2, jnp.asarray(m.lm_pos[lm2])))
+        # numpy: lm1/lm2 lengths vary per candidate — eager jnp ops would
+        # compile a fresh executable per length (tunnel compile storms)
+        T1 = m.kf_pose[kf_id]
+        T2 = m.kf_pose[cand]
+        p1_cam = lie.np_se3_apply(T1, m.lm_pos[lm1])
+        p2_cam = lie.np_se3_apply(T2, m.lm_pos[lm2])
         uv1 = m.kf_uv[kf_id, f1]
         uv2 = m.kf_uv[cand, f2]
         s2_1 = (1.2 ** (2 * m.kf_octave[kf_id, f1])).astype(np.float32)
@@ -336,8 +338,8 @@ class LoopCloser:
             a_lm1 = np.concatenate([lm1[inl_np], g_lm1])
             a_lm2 = np.concatenate([lm2[inl_np], g_lm2])
             P2 = len(a_f1)
-            p1c = np.asarray(lie.se3_apply(T1, jnp.asarray(m.lm_pos[a_lm1])))
-            p2c = np.asarray(lie.se3_apply(T2, jnp.asarray(m.lm_pos[a_lm2])))
+            p1c = lie.np_se3_apply(T1, m.lm_pos[a_lm1])
+            p2c = lie.np_se3_apply(T2, m.lm_pos[a_lm2])
             w1 = (1.2 ** (2 * m.kf_octave[kf_id, a_f1])).astype(np.float32)
             w2 = (1.2 ** (2 * m.kf_octave[cand, a_f2])).astype(np.float32)
             cap2 = _pair_tier(P2)
@@ -558,9 +560,9 @@ class LoopCloser:
         w += [1.0] * len(hi)
         # structural edges measure the CURRENT relative geometry — batch
         nodes = np.concatenate([m.kf_pose[valid], np.ones((K, 1), np.float32)], 1)
-        Si = jnp.asarray(nodes[np.asarray(ei, np.int64)])
-        Sj = jnp.asarray(nodes[np.asarray(ej, np.int64)])
-        Sij = np.asarray(lie.sim3_mul(Si, lie.sim3_inv(Sj)), np.float32)
+        Si = nodes[np.asarray(ei, np.int64)]
+        Sj = nodes[np.asarray(ej, np.int64)]
+        Sij = lie.np_sim3_mul(Si, lie.np_sim3_inv(Sj))
         ei, ej, w, Sij = list(ei), list(ej), list(w), [r for r in Sij]
         # accumulated loop/merge edges keep their MEASURED constraints
         for (a, b, Sab, wt) in self.extra_edges:
@@ -655,14 +657,14 @@ class LoopCloser:
         # would correct it with an unrelated keyframe's transform)
         ref_slot = np.array([slot.get(m.live_ref_kf(int(r)), 0) for r in ref],
                             np.int64)
-        S_old = jnp.asarray(old_nodes[ref_slot])
-        S_new = jnp.asarray(new_nodes[ref_slot])
-        X = jnp.asarray(m.lm_pos[lm_ids])
-        X_corr = lie.sim3_apply(lie.sim3_inv(S_new), lie.sim3_apply(S_old, X))
-        m.lm_pos[lm_ids] = np.asarray(X_corr, np.float32)
+        S_old = old_nodes[ref_slot]
+        S_new = new_nodes[ref_slot]
+        X_corr = lie.np_sim3_apply(lie.np_sim3_inv(S_new),
+                                   lie.np_sim3_apply(S_old, m.lm_pos[lm_ids]))
+        m.lm_pos[lm_ids] = X_corr
 
         # pose writeback (drop scale into SE3 as the reference does)
-        m.kf_pose[valid] = np.asarray(lie.sim3_to_se3(jnp.asarray(new_nodes)), np.float32)
+        m.kf_pose[valid] = lie.np_sim3_to_se3(new_nodes)
 
         # fuse loop duplicate landmarks (current ones replaced by matched)
         if getattr(self, "_pending_fusion", None) is not None:
@@ -769,13 +771,9 @@ class LoopCloser:
         if fresh_lm.size:
             ref = np.asarray([m.live_ref_kf(int(r)) for r in m.lm_ref_kf[fresh_lm]],
                              np.int64)
-            Tcw_old = jnp.asarray(before_all[ref])
-            Tcw_new = jnp.asarray(m.kf_pose[ref])
-            X = jnp.asarray(m.lm_pos[fresh_lm])
-            Xc = lie.se3_apply(Tcw_old, X)
-            # per-row inverse transform: X' = R_newᵀ (Xc − t_new)
-            X_new = lie.se3_apply(lie.se3_inv(Tcw_new), Xc)
-            m.lm_pos[fresh_lm] = np.asarray(X_new, np.float32)
+            Xc = lie.np_se3_apply(before_all[ref], m.lm_pos[fresh_lm])
+            m.lm_pos[fresh_lm] = lie.np_se3_apply(
+                lie.np_se3_inv(m.kf_pose[ref]), Xc)
         m.version += 1
 
     def _fuse(self, cur_lms: np.ndarray, old_lms: np.ndarray):

@@ -585,28 +585,26 @@ def apply_scaled_rotation(m: MapState, S_new_old: np.ndarray,
     velocities are already metric (IMU-init output) and only rotate,
     otherwise they rescale with the map.
     """
-    import jax.numpy as jnp
-
-    S = jnp.asarray(S_new_old, jnp.float32)
+    S = np.asarray(S_new_old, np.float32)
     s = float(S_new_old[7])
     kfs = m.valid_kf_ids()
     if kfs.size:
-        Sp = lie.sim3_mul(lie.sim3_from_se3(jnp.asarray(m.kf_pose[kfs])),
-                          lie.sim3_inv(S)[None, :])
-        m.kf_pose[kfs] = np.asarray(lie.sim3_to_se3(Sp), np.float32)
+        Sp = lie.np_sim3_mul(lie.np_sim3_from_se3(m.kf_pose[kfs]),
+                             lie.np_sim3_inv(S)[None, :])
+        m.kf_pose[kfs] = lie.np_sim3_to_se3(Sp)
         d = m.kf_depth[kfs]
         uu = m.kf_uv[kfs][..., 0]
         ur = m.kf_ur[kfs]
         m.kf_depth[kfs] = np.where(d > 0, d * s, d)
         m.kf_ur[kfs] = np.where((ur >= 0) & (d > 0), uu - (uu - ur) / s, ur)
         q = S[:4]
-        v = np.asarray(lie.quat_rotate(q[None, :], jnp.asarray(m.kf_vel[kfs])), np.float32)
+        v = lie.np_quat_rotate(q[None, :], m.kf_vel[kfs]).astype(np.float32)
         m.kf_vel[kfs] = v if vel_metric_preserved else v * s
     lms = np.nonzero(m.lm_valid)[0]
     if lms.size:
-        m.lm_pos[lms] = np.asarray(lie.sim3_apply(S, jnp.asarray(m.lm_pos[lms])), np.float32)
-        m.lm_normal[lms] = np.asarray(
-            lie.quat_rotate(jnp.asarray(S[:4])[None, :], jnp.asarray(m.lm_normal[lms])), np.float32)
+        m.lm_pos[lms] = lie.np_sim3_apply(S, m.lm_pos[lms])
+        m.lm_normal[lms] = lie.np_quat_rotate(
+            S[:4][None, :], m.lm_normal[lms]).astype(np.float32)
         m.lm_max_dist[lms] *= s
         m.lm_min_dist[lms] *= s
     m.version += 1

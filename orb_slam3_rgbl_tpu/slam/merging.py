@@ -93,10 +93,9 @@ def verify_cross_map(
     if f1.size < 20:
         return None
 
-    T1 = jnp.asarray(m1.kf_pose[kf1])
-    T2 = jnp.asarray(m2.kf_pose[kf2])
-    p1_cam = np.asarray(lie.se3_apply(T1, jnp.asarray(m1.lm_pos[lm1])))
-    p2_cam = np.asarray(lie.se3_apply(T2, jnp.asarray(m2.lm_pos[lm2])))
+    # numpy: match counts vary per candidate (eager-jnp shape churn)
+    p1_cam = lie.np_se3_apply(m1.kf_pose[kf1], m1.lm_pos[lm1])
+    p2_cam = lie.np_se3_apply(m2.kf_pose[kf2], m2.lm_pos[lm2])
     uv1 = m1.kf_uv[kf1, f1]
     uv2 = m2.kf_uv[kf2, f2]
     s2_1 = (cfg.orb.scale_factor ** (2 * m1.kf_octave[kf1, f1])).astype(np.float32)
@@ -198,14 +197,17 @@ def merge_maps(old: MapState, active: MapState, ev_kf_cur: int,
     old = _grow_map(old, old.n_kf + nK, old.n_lm + nL)
 
     # --- transport poses: T_ck_w2 = se3(sim3(T_ck_w1) ∘ S_w1_w2) ---------
-    S_poses = lie.sim3_mul(lie.sim3_from_se3(jnp.asarray(active.kf_pose[kfs])),
-                           S_w1_w2[None, :])
-    new_poses = np.asarray(lie.sim3_to_se3(S_poses), np.float32)
+    # (numpy: the transported counts vary per weld — eager-jnp shape churn)
+    S_w1_w2_np = np.asarray(S_w1_w2, np.float32)
+    S_poses = lie.np_sim3_mul(lie.np_sim3_from_se3(active.kf_pose[kfs]),
+                              S_w1_w2_np[None, :])
+    new_poses = lie.np_sim3_to_se3(S_poses)
     # --- transport landmarks: X_w2 = S_w2_w1 · X_w1 ----------------------
-    new_lm_pos = np.asarray(lie.sim3_apply(S, jnp.asarray(active.lm_pos[lms])), np.float32)
+    S_np = np.asarray(S_w2_w1, np.float32)
+    new_lm_pos = lie.np_sim3_apply(S_np, active.lm_pos[lms])
     # normals rotate (unit length preserved); distance bands scale by s
-    q = jnp.asarray(S_w2_w1[:4])
-    new_normals = np.asarray(lie.quat_rotate(q[None, :], jnp.asarray(active.lm_normal[lms])), np.float32)
+    q = S_np[:4]
+    new_normals = lie.np_quat_rotate(q[None, :], active.lm_normal[lms]).astype(np.float32)
 
     # --- id remaps --------------------------------------------------------
     kf_remap = np.full(active.capacity_kf, INVALID, np.int32)
@@ -237,8 +239,8 @@ def merge_maps(old: MapState, active: MapState, ev_kf_cur: int,
     old.kf_lm_idx[new_kf_ids] = np.where(tbl >= 0, lm_remap[np.clip(tbl, 0, None)], INVALID)
     # inertial chain: velocities rotate + rescale into w2 units; the
     # preintegration dicts re-key through the id remap
-    old.kf_vel[new_kf_ids] = s * np.asarray(
-        lie.quat_rotate(q[None, :], jnp.asarray(active.kf_vel[kfs])), np.float32)
+    old.kf_vel[new_kf_ids] = s * lie.np_quat_rotate(
+        q[None, :], active.kf_vel[kfs]).astype(np.float32)
     old.kf_bg[new_kf_ids] = active.kf_bg[kfs]
     old.kf_ba[new_kf_ids] = active.kf_ba[kfs]
     prev = active.kf_prev_imu[kfs]

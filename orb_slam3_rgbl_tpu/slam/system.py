@@ -712,7 +712,7 @@ class System:
         rks = np.asarray(entry.traj_ref_kf, np.int64)
         ref_poses = np.stack([m.effective_kf_pose(int(rk)) for rk in rks])
         Tcw = lie.np_se3_mul(np.stack(entry.traj_rel), ref_poses)
-        return np.asarray(lie.se3_inv(jnp.asarray(Tcw)), np.float32)
+        return lie.np_se3_inv(Tcw)
 
     def trajectory(self) -> np.ndarray:
         """World-frame camera poses Twc (F, 7) across all atlas maps

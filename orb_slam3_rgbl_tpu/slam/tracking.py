@@ -1418,4 +1418,4 @@ class Tracker:
         ref_poses = np.stack([self.map.effective_kf_pose(int(rk))
                               for rk in self.traj_ref_kf])
         Tcw = lie.np_se3_mul(np.stack(self.traj_rel), ref_poses)
-        return np.asarray(lie.se3_inv(jnp.asarray(Tcw)), np.float32)
+        return lie.np_se3_inv(Tcw)
