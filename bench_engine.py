@@ -54,6 +54,10 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     from orb_slam3_rgbl_tpu.utils.profiling import StageTimer
 
     cfg = kitti_rgbl_config()
+    if os.environ.get("BENCH_LOOP", "1") == "0":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, loop_closing=False)
     cam = cfg.camera
     if cadence > 0:
         # closed box world, two laps → the revisit fires a full loop
@@ -125,10 +129,12 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     t0 = time.perf_counter()
     per_frame = []
     kf_frames = []
+    states = []
     for i in range(warmup, n_frames):
         ta = time.perf_counter()
         r = sysm.track_rgbl(imgs[i], clouds[i], i * 0.1)
         per_frame.append(time.perf_counter() - ta)
+        states.append(r.state)
         if r.created_kf:
             kf_frames.append(i)
     sysm.shutdown()   # drain the async mapping plane + any running GBA
@@ -147,6 +153,13 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     err = float(ate_rmse(jnp.asarray(est[:, 4:7]),
                          jnp.asarray(gt[:, 4:7] - gt[0, 4:7])))
 
+    ok_frac = float(np.mean([s == 2 for s in states]))
+    # per-frame error profile (diagnose drift vs correction damage)
+    per_err = np.linalg.norm(
+        est[:, 4:7] - (gt[:, 4:7] - gt[0, 4:7]), axis=1)
+    log(f"ok_frac {ok_frac:.3f}; err p50 {np.percentile(per_err,50):.2f} "
+        f"p90 {np.percentile(per_err,90):.2f} max {per_err.max():.2f} "
+        f"argmax {int(np.argmax(per_err))}")
     n_kf_timed = len(kf_frames)
     deferred = int(getattr(sysm.tracker, "deferred_kf", 0))
     n_loops = len(sysm.loop_closer.events) if sysm.loop_closer else 0
@@ -166,6 +179,7 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
         "kf_per_100_frames": round(100.0 * n_kf_timed / n_timed, 1),
         "deferred_kf": deferred,
         "loop_events": n_loops,
+        "ok_frac": round(ok_frac, 3),
         "n_landmarks": int(sysm.map.lm_valid.sum()),
     }
 

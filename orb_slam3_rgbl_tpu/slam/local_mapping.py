@@ -59,6 +59,7 @@ class DeviceKfCache:
         self.d_oct = jnp.zeros((cap, self.n_feat), jnp.int32)
         self.d_angle = jnp.zeros((cap, self.n_feat), jnp.float32)
         self.d_valid = jnp.zeros((cap, self.n_feat), bool)
+        self.d_ur = jnp.zeros((cap, self.n_feat), jnp.float32)
 
     def _grow(self, need):
         cap = self.cap
@@ -70,9 +71,10 @@ class DeviceKfCache:
             return jnp.concatenate(
                 [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
 
-        self.d_uv, self.d_desc, self.d_oct, self.d_angle, self.d_valid = (
+        (self.d_uv, self.d_desc, self.d_oct, self.d_angle, self.d_valid,
+         self.d_ur) = (
             g(self.d_uv), g(self.d_desc), g(self.d_oct), g(self.d_angle),
-            g(self.d_valid))
+            g(self.d_valid), g(self.d_ur))
         self.cap = cap
 
     def reset(self):
@@ -89,7 +91,8 @@ class DeviceKfCache:
                 self.add(k, _HostFeats(
                     uv=m.kf_uv[k], desc=m.kf_desc[k],
                     octave=m.kf_octave[k].astype(np.int32),
-                    angle=m.kf_angle[k], valid=m.kf_feat_valid[k]))
+                    angle=m.kf_angle[k], valid=m.kf_feat_valid[k],
+                    u_right=m.kf_ur[k]))
 
     def add(self, kf_id: int, feats):
         """Register keyframe features (FrameFeatures, device or host)."""
@@ -104,12 +107,14 @@ class DeviceKfCache:
         self.d_angle = self.d_angle.at[kf_id].set(
             jnp.asarray(feats.angle, jnp.float32))
         self.d_valid = self.d_valid.at[kf_id].set(jnp.asarray(feats.valid))
+        self.d_ur = self.d_ur.at[kf_id].set(
+            jnp.asarray(feats.u_right, jnp.float32))
 
 
 class _HostFeats:
-    def __init__(self, uv, desc, octave, angle, valid):
-        self.uv, self.desc, self.octave, self.angle, self.valid = (
-            uv, desc, octave, angle, valid)
+    def __init__(self, uv, desc, octave, angle, valid, u_right):
+        (self.uv, self.desc, self.octave, self.angle, self.valid,
+         self.u_right) = (uv, desc, octave, angle, valid, u_right)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
@@ -278,14 +283,19 @@ class LocalMapper:
                     (BA_POSES_CAP, 1))),
                 pose_fixed=jnp.asarray(np.arange(BA_POSES_CAP) == 0),
                 pose_valid=jnp.ones(BA_POSES_CAP, bool),
-                landmarks=jnp.zeros((Mw, 3)) + jnp.asarray([0.0, 0.0, 10.0]),
+                landmarks=jnp.zeros((Mw, 3), jnp.float32)
+                + jnp.asarray([0.0, 0.0, 10.0], jnp.float32),
                 lm_valid=jnp.ones(Mw, bool),
                 obs_kf=jnp.zeros((Mw, BA_OBS_CAP), jnp.int32),
-                obs_uv=jnp.full((Mw, BA_OBS_CAP, 2), 100.0),
-                obs_ur=jnp.full((Mw, BA_OBS_CAP), -1.0),
-                obs_inv_sigma2=jnp.ones((Mw, BA_OBS_CAP)),
+                obs_uv=jnp.full((Mw, BA_OBS_CAP, 2), 100.0, jnp.float32),
+                obs_ur=jnp.full((Mw, BA_OBS_CAP), -1.0, jnp.float32),
+                obs_inv_sigma2=jnp.ones((Mw, BA_OBS_CAP), jnp.float32),
                 obs_mask=jnp.ones((Mw, BA_OBS_CAP), bool))
-            local_ba.bundle_adjust(prob, self.geo_cam, n_iters=1)
+            # NOTE: static kwargs must be passed EXACTLY like the real
+            # call sites — this jax version caches omitted-default and
+            # explicitly-passed static args as different entries
+            local_ba.bundle_adjust(prob, self.geo_cam, iterations=10,
+                                   n_iters=1)
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, run_ba: bool = True):
@@ -322,7 +332,8 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _fuse_into(self, kf: int, lm_ids: np.ndarray, counts: np.ndarray,
-                   remap: np.ndarray, cap: int, th: float = 3.0) -> int:
+                   remap: np.ndarray, cap: int, th: float = 3.0,
+                   touched: list = None) -> int:
         """``ORBmatcher::Fuse`` (reference ORBmatcher.cc Fuse overloads):
         project the landmarks into keyframe ``kf``; a windowed descriptor
         match (radius th·scale, TH_LOW) either BINDS an unbound feature or
@@ -348,11 +359,12 @@ class LocalMapper:
         idx_b, d_b = fuse_project_targets(
             self, np.asarray([kf], np.int64), P, Pdesc, Pmaxd, Pvalid, TB=1)
         return self._apply_fuse_matches(kf, lm_ids, counts, remap,
-                                        idx_b[0], d_b[0])
+                                        idx_b[0], d_b[0], touched=touched)
 
     def _apply_fuse_matches(self, kf: int, lm_ids: np.ndarray,
                             counts: np.ndarray, remap: np.ndarray,
-                            idx: np.ndarray, d: np.ndarray) -> int:
+                            idx: np.ndarray, d: np.ndarray,
+                            touched: list = None) -> int:
         """Host half of Fuse: bind unbound features / Replace duplicates
         from a (cap,) projection-match result."""
         m = self.map
@@ -379,6 +391,8 @@ class LocalMapper:
         if free.any():
             m.kf_lm_idx[kf, win_f[free]] = src[free]
             n_ops += int(free.sum())
+            if touched is not None:
+                touched.append(src[free])
         # bound to a different landmark → Replace (more observations wins)
         dup = (~free) & (tgt != src)
         if dup.any():
@@ -389,6 +403,8 @@ class LocalMapper:
             fresh = loser != winner
             remap[loser[fresh]] = winner[fresh]
             n_ops += int(fresh.sum())
+            if touched is not None:
+                touched.append(winner[fresh])
         return n_ops
 
     def _search_in_neighbors(self, kf_id: int):
@@ -425,6 +441,7 @@ class LocalMapper:
         own = m.kf_lm_idx[kf_id]
         own = np.unique(own[own >= 0])
         n_ops = 0
+        touched = []
         # forward: this KF's landmarks into every neighbor — ALL targets
         # in ONE dispatch + one download (the per-target loop was
         # round-trip-bound on the TPU tunnel)
@@ -445,12 +462,14 @@ class LocalMapper:
                 self, tg, P, Pdesc, Pmaxd, Pvalid, TB=TB)
             for a, k2 in enumerate(tg):
                 n_ops += self._apply_fuse_matches(
-                    int(k2), own_c, counts, remap, idx_b[a], dist_b[a])
+                    int(k2), own_c, counts, remap, idx_b[a], dist_b[a],
+                    touched=touched)
         # backward: the neighborhood's landmarks into this KF
         back = m.kf_lm_idx[np.asarray(targets)]
         back = np.unique(back[back >= 0])
         back = back[~np.isin(back, own)]
-        n_ops += self._fuse_into(kf_id, back, counts, remap, 2 * cap)
+        n_ops += self._fuse_into(kf_id, back, counts, remap, 2 * cap,
+                                 touched=touched)
 
         # apply Replace remaps globally (path-compress chains first)
         changed = remap != np.arange(m.capacity_lm, dtype=np.int32)
@@ -479,8 +498,12 @@ class LocalMapper:
 
             dedup_kf_bindings(m)
             # refresh distinctive descriptors / normals / depth bands of
-            # everything touched (reference updates per fused point)
-            m.update_landmark_stats(np.concatenate([[kf_id], np.asarray(targets)]))
+            # the landmarks actually touched (reference updates per fused
+            # point; refreshing the whole neighborhood cost ~100 ms/KF)
+            ids = (np.unique(np.concatenate(touched)) if touched
+                   else np.zeros(0, np.int64))
+            ids = remap[np.clip(ids, 0, m.capacity_lm - 1)]
+            m.update_landmark_stats(lm_ids=ids)
             m.version += 1
 
     # ------------------------------------------------------------------
@@ -696,6 +719,7 @@ class LocalMapper:
         obs_kf, obs_feat, obs_mask, obs_uv, obs_ur = self.map.gather_observations(
             window, lm_ids, BA_OBS_CAP
         )
+        self.dev_cache.ensure(self.map, window)
         if self.map.last_dropped_obs:
             # no silent caps: dense covisibility exceeded the D-per-landmark
             # budget (reference local BA keeps every observer)
@@ -713,10 +737,18 @@ class LocalMapper:
             out[: a.shape[0]] = a
             return out
 
-        octv = np.zeros_like(obs_kf)
+        # observation pixels / pseudo-stereo / weights GATHER from the
+        # device feature mirror (uploading them cost ~0.5 MB per solve)
         kf_global = window[np.clip(obs_kf, 0, len(window) - 1)]
-        octv = self.map.kf_octave[kf_global, obs_feat].astype(np.int32)
-        inv_s2 = self.inv_sigma2[np.clip(octv, 0, len(self.inv_sigma2) - 1)].astype(np.float32)
+        kfg_dev = jnp.asarray(pad_obs(kf_global.astype(np.int32)))
+        feat_dev = jnp.asarray(pad_obs(obs_feat))
+        mask_dev = jnp.asarray(pad_obs(obs_mask))
+        c = self.dev_cache
+        obs_uv_dev = c.d_uv[kfg_dev, feat_dev]
+        obs_ur_dev = jnp.where(mask_dev, c.d_ur[kfg_dev, feat_dev], -1.0)
+        oct_dev = jnp.clip(c.d_oct[kfg_dev, feat_dev], 0,
+                           len(self.inv_sigma2) - 1)
+        inv_s2_dev = jnp.asarray(self.inv_sigma2.astype(np.float32))[oct_dev]
 
         problem = local_ba.BAProblem(
             poses=jnp.asarray(poses),
@@ -725,10 +757,10 @@ class LocalMapper:
             landmarks=jnp.asarray(pad_obs(self.map.lm_pos[lm_ids])),
             lm_valid=jnp.asarray(lm_valid),
             obs_kf=jnp.asarray(pad_obs(obs_kf)),
-            obs_uv=jnp.asarray(pad_obs(obs_uv)),
-            obs_ur=jnp.asarray(pad_obs(obs_ur, -1.0)),
-            obs_inv_sigma2=jnp.asarray(pad_obs(inv_s2)),
-            obs_mask=jnp.asarray(pad_obs(obs_mask)),
+            obs_uv=obs_uv_dev,
+            obs_ur=obs_ur_dev,
+            obs_inv_sigma2=inv_s2_dev,
+            obs_mask=mask_dev,
         )
         res = local_ba.bundle_adjust(problem, self.geo_cam,
                                      iterations=iterations, n_iters=n_iters)
@@ -1025,6 +1057,7 @@ class LocalMapper:
         m.kf_bg[kfs] = np.asarray(out["bias"].bg, np.float32)
         m.kf_ba[kfs] = np.asarray(out["bias"].ba, np.float32)
         ms.apply_scaled_rotation(m, S_align, vel_metric_preserved=True)
+        self.dev_cache.reset()   # metric rescale invalidates mirrored ur
         m.imu_initialized = True
         self._imu_init_time = float(m.kf_timestamp[kfs[-1]])
         self._viba_stage = 0

@@ -139,29 +139,34 @@ class LoopCloser:
         for cap, th in ((N, matching.TH_LOW), (2 * N, matching.TH_LOW),
                         (N, matching.TH_HIGH)):
             matching.windowed_projection_match(
-                jnp.zeros((cap, 2)), jnp.zeros(cap, bool),
+                jnp.zeros((cap, 2), jnp.float32), jnp.zeros(cap, bool),
                 jnp.zeros((cap, 8), jnp.uint32), jnp.zeros(cap, jnp.int32),
-                jnp.zeros((N, 2)), jnp.zeros(N, bool),
+                jnp.zeros((N, 2), jnp.float32), jnp.zeros(N, bool),
                 jnp.zeros((N, 8), jnp.uint32), jnp.zeros(N, jnp.int32),
-                jnp.full(cap, 4.0), th=th)
+                jnp.full(cap, 4.0, jnp.float32), th=th)
         # loop-verification / relocalization descriptor matching (ratio
         # 0.75 + rotation histogram — tracking warms only 0.7/0.8)
         d = matching.distance_table(
             jnp.zeros((N, 8), jnp.uint32), jnp.zeros((N, 8), jnp.uint32),
             jnp.zeros(N, bool), jnp.zeros(N, bool))
-        matching.mutual_best_match(d, jnp.zeros(N), jnp.zeros(N),
+        matching.mutual_best_match(d, jnp.zeros(N, jnp.float32),
+                                   jnp.zeros(N, jnp.float32),
                                    th=matching.TH_LOW, ratio=0.75,
                                    check_rotation=True)
         matching.mutual_best_match(d, th=matching.TH_LOW, ratio=0.75,
                                    check_rotation=False)
+        # keyframe-database scoring at full capacity (first detection
+        # otherwise compiles the score matvecs mid-run)
+        self.db.query(self.db.vectors[0], np.zeros(0, np.int64))
         # relocalization PnP at the first pair tier
         from orb_slam3_rgbl_tpu.optim import pnp as _pnp
 
         capr = pair_tiers[0]
         _pnp.rigid_pnp_ransac(
-            jnp.zeros((capr, 3)) + jnp.asarray([0.0, 0.0, 5.0]),
-            jnp.zeros((capr, 3)) + jnp.asarray([0.0, 0.0, 5.0]),
-            jnp.full((capr, 2), 100.0), jnp.ones(capr),
+            jnp.zeros((capr, 3), jnp.float32) + jnp.asarray([0.0, 0.0, 5.0], jnp.float32),
+            jnp.zeros((capr, 3), jnp.float32) + jnp.asarray([0.0, 0.0, 5.0], jnp.float32),
+            jnp.full((capr, 2), 100.0, jnp.float32),
+            jnp.ones(capr, jnp.float32),
             jnp.concatenate([jnp.ones(32, bool), jnp.zeros(capr - 32, bool)]),
             self.cam, rngk)
         # -- essential graph at the expected node/edge tiers -------------
@@ -190,12 +195,13 @@ class LoopCloser:
                     _np.array([1, 0, 0, 0, 0, 0, 0], _np.float32), (K, 1))),
                 pose_fixed=jnp.asarray(_np.arange(K) == 0),
                 pose_valid=jnp.ones(K, bool),
-                landmarks=jnp.zeros((Mp, 3)) + jnp.asarray([0.0, 0.0, 10.0]),
+                landmarks=jnp.zeros((Mp, 3), jnp.float32)
+                + jnp.asarray([0.0, 0.0, 10.0], jnp.float32),
                 lm_valid=jnp.ones(Mp, bool),
                 obs_kf=jnp.zeros((Mp, 8), jnp.int32),
-                obs_uv=jnp.full((Mp, 8, 2), 100.0),
-                obs_ur=jnp.full((Mp, 8), -1.0),
-                obs_inv_sigma2=jnp.ones((Mp, 8)),
+                obs_uv=jnp.full((Mp, 8, 2), 100.0, jnp.float32),
+                obs_ur=jnp.full((Mp, 8), -1.0, jnp.float32),
+                obs_inv_sigma2=jnp.ones((Mp, 8), jnp.float32),
                 obs_mask=jnp.ones((Mp, 8), bool))
             _gba.global_bundle_adjust(prob, self.cam, iterations=2)
 

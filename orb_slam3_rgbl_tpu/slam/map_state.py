@@ -449,9 +449,12 @@ class MapState:
         pose = self.kf_pose[k]
         return pose if T_acc is None else lie.np_se3_mul(T_acc, pose)
 
-    def update_landmark_stats(self, kf_ids: np.ndarray):
+    def update_landmark_stats(self, kf_ids: np.ndarray = None,
+                              lm_ids: np.ndarray = None):
         """Refresh distinctive descriptors + normals + depth bands for
-        landmarks observed by the given keyframes.
+        landmarks observed by the given keyframes (or the explicit
+        ``lm_ids`` subset — fusion passes touch a few dozen landmarks,
+        not every landmark of the whole neighborhood).
 
         Distinctive descriptor = observation whose max Hamming distance to
         the other observations is minimal (reference
@@ -460,7 +463,11 @@ class MapState:
         unit camera→point rays; band from reference-KF distance and octave
         (``MapPoint::UpdateNormalAndDepth``).
         """
-        lm_set = np.unique(self.kf_lm_idx[kf_ids][self.kf_lm_idx[kf_ids] >= 0])
+        if lm_ids is not None:
+            lm_set = np.unique(np.asarray(lm_ids))
+            lm_set = lm_set[(lm_set >= 0) & self.lm_valid[np.clip(lm_set, 0, None)]]
+        else:
+            lm_set = np.unique(self.kf_lm_idx[kf_ids][self.kf_lm_idx[kf_ids] >= 0])
         if lm_set.size == 0:
             return
         # collect up to 12 observations per landmark
