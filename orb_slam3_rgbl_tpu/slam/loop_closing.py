@@ -359,14 +359,89 @@ class LoopCloser:
                 jnp.asarray(vm2), self.cam, fix_scale=self.fix_scale,
             )
             if int(n2) >= int(n):
+                S12b_np = np.asarray(S12b, np.float32)
+                if not self._verify_with_neighbors(kf_id, cand, S12b_np):
+                    return None
                 inl2_np = np.asarray(inl2)[:P2]
                 self._pending_fusion = (a_lm1[inl2_np], a_lm2[inl2_np])
                 return LoopEvent(kf_cur=kf_id, kf_matched=cand,
-                                 n_inliers=int(n2), S12=np.asarray(S12b))
+                                 n_inliers=int(n2), S12=S12b_np)
 
+        if not self._verify_with_neighbors(kf_id, cand, S12_np):
+            return None
         # landmark fusion pairs: current landmark → matched (older) landmark
         self._pending_fusion = (lm1[inl_np], lm2[inl_np])
         return LoopEvent(kf_cur=kf_id, kf_matched=cand, n_inliers=int(n), S12=S12_np)
+
+    def _verify_with_neighbors(self, kf_id: int, cand: int, S12: np.ndarray,
+                               min_matches: int = 25,
+                               need_pass: int = 1) -> bool:
+        """Multi-keyframe geometric verification (reference
+        ``DetectCommonRegionsFromBoW`` projects the hypothesis into extra
+        covisible keyframes and demands nNumProjMatches on each before a
+        loop is accepted, LoopClosing.cc:843-897). A perceptually-aliased
+        match (symmetric structure seen from a different place) fits ONE
+        view but not the neighborhood — this gate killed wrong loops that
+        warped the bench map by tens of meters."""
+        m = self.map
+        neighbors = [int(k) for k in m.best_covisible(kf_id, 3, min_weight=1)
+                     if int(k) != cand][:2]
+        if not neighbors:
+            return True   # nothing to check against (tiny map)
+        T_cur_inv = lie.np_se3_inv(m.kf_pose[kf_id])
+        passed = 0
+        for nk in neighbors:
+            # hypothesis pose of neighbor nk in the candidate's world:
+            # S_nk_w = sim3(T_nk_cur) ∘ S12 ∘ sim3(T_cand_w)
+            T_nk_cur = lie.np_se3_mul(m.kf_pose[nk], T_cur_inv)
+            S_nk_w = lie.np_sim3_mul(
+                lie.np_sim3_from_se3(T_nk_cur),
+                lie.np_sim3_mul(S12, lie.np_sim3_from_se3(m.kf_pose[cand])))
+            if self._count_loop_matches(nk, cand, S_nk_w) >= min_matches:
+                passed += 1
+                if passed >= need_pass:
+                    return True
+        return False
+
+    def _count_loop_matches(self, kf: int, cand: int, S_kw: np.ndarray,
+                            radius: float = 7.5) -> int:
+        """Project the candidate neighborhood's landmarks through the
+        hypothesis Sim3 into keyframe ``kf`` and count windowed descriptor
+        matches (the counting half of SearchByProjection)."""
+        m = self.map
+        loop_kfs = [cand] + [int(k) for k in m.best_covisible(cand, 10,
+                                                              min_weight=1)]
+        tbl = m.kf_lm_idx[np.asarray(loop_kfs)]
+        lms = np.unique(tbl[tbl >= 0])
+        lms = lms[m.lm_valid[lms]]
+        if lms.size == 0:
+            return 0
+        cap = m.n_features
+        lms = lms[:cap]
+        nl = lms.size
+        P = np.zeros((cap, 3), np.float32)
+        Pdesc = np.zeros((cap, 8), np.uint32)
+        Pvalid = np.zeros(cap, bool)
+        P[:nl] = m.lm_pos[lms]
+        Pdesc[:nl] = m.lm_desc[lms]
+        Pvalid[:nl] = True
+        pc = lie.np_sim3_apply(S_kw, P)
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = self.cam.fx * pc[:, 0] / z + self.cam.cx
+            v = self.cam.fy * pc[:, 1] / z + self.cam.cy
+        ok = Pvalid & (z > 0.1)
+        ok &= np.nan_to_num((u >= 0) & (u < self.cam.width)
+                            & (v >= 0) & (v < self.cam.height), nan=False)
+        idx, _ = matching.windowed_projection_match(
+            jnp.asarray(np.stack([np.nan_to_num(u), np.nan_to_num(v)], 1
+                                 ).astype(np.float32)),
+            jnp.asarray(ok), jnp.asarray(Pdesc), jnp.zeros(cap, jnp.int32),
+            jnp.asarray(m.kf_uv[kf]), jnp.asarray(m.kf_feat_valid[kf]),
+            jnp.asarray(m.kf_desc[kf]), jnp.zeros(m.n_features, jnp.int32),
+            jnp.asarray(np.full(cap, radius, np.float32)), th=matching.TH_HIGH,
+        )
+        return int((np.asarray(idx) >= 0).sum())
 
     def _guided_sim3_matches(self, kf_id: int, cand: int, S12: np.ndarray,
                              exclude_f1: np.ndarray, radius: float = 7.5):

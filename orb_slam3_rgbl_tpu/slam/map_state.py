@@ -159,6 +159,13 @@ class MapState:
         k = self.n_kf
         if k >= self.capacity_kf:
             raise RuntimeError("keyframe capacity exhausted")
+        # the tracker captured these bindings a few ms ago — the async
+        # mapping worker may have culled some landmarks since; filtering
+        # under the allocator lock keeps the new row's bindings valid
+        lm_idx = np.asarray(lm_idx, np.int32)
+        lm_idx = np.where(
+            (lm_idx >= 0) & self.lm_valid[np.clip(lm_idx, 0, None)],
+            lm_idx, INVALID)
         self.kf_pose[k] = pose
         if angle is not None:
             self.kf_angle[k] = angle
