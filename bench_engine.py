@@ -46,6 +46,17 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     import jax.numpy as jnp
 
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("BENCH_LOG_COMPILES", "0") == "1":
+        # audit mid-run compiles (VERDICT r4 #3): every compile inside the
+        # timed window is a stall — the log timestamps identify which
+        # program escaped the prewarm inventory
+        import logging
+
+        jax.config.update("jax_log_compiles", True)
+        logging.basicConfig(level=logging.INFO)
+        for name in ("jax._src.interpreters.pxla", "jax._src.dispatch",
+                     "jax._src.pjit", "jax._src.compiler"):
+            logging.getLogger(name).setLevel(logging.INFO)
 
     from orb_slam3_rgbl_tpu import synthetic as syn
     from orb_slam3_rgbl_tpu.config import kitti_rgbl_config
@@ -125,6 +136,7 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     log(f"warmup {warmup} frames: {time.perf_counter()-t0:.1f}s")
 
     # ---- timed engine loop ----------------------------------------------
+    log(f"=== timed window starts {time.strftime('%H:%M:%S')} ===")
     n_kf_before = int(sysm.map.n_kf)
     t0 = time.perf_counter()
     per_frame = []

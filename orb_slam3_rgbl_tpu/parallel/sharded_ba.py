@@ -79,7 +79,14 @@ def _apply_step(P_: BAProblem, delta_p, Vinv, b_l, Wpl):
 
 
 def make_distributed_ba(mesh: Mesh, cam, iterations: int = 10, huber_iters: int = 7):
-    """Build a jitted distributed BA step over `mesh`.
+    """REFERENCE/TEST-ONLY dense-Schur variant — NOT the production path.
+
+    Forms and ``psum``s the dense (K·6)² reduced camera system every
+    iteration: at KITTI scale (K≈1.4k) that is a ~280 MB collective per
+    iteration, which cannot scale. It exists as the numerically-exact
+    oracle the PCG path is validated against (``tests/test_sharded_ba.py``).
+    Production multi-device BA is :func:`make_distributed_pcg_ba` —
+    O(K·6) communication per CG iteration.
 
     The returned function takes a BAProblem whose landmark-major arrays
     are sharded along ``lm`` (poses replicated) and returns updated

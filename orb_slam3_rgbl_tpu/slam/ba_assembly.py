@@ -97,4 +97,5 @@ def writeback(
             mr, dc = np.nonzero(bad)
             kfg = window[obs_kf[mr, dc]]
             m.kf_lm_idx[kfg, obs_feat[mr, dc]] = -1
+            m.cull_orphans(lm_ids[np.unique(mr)])
     m.version += 1

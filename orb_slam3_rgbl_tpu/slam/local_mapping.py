@@ -32,6 +32,7 @@ from orb_slam3_rgbl_tpu.slam.map_state import MapState
 BA_POSES_CAP = 24       # optimized + fixed window sizes (static shapes)
 BA_LM_CAP = 8192
 BA_OBS_CAP = 8          # D — max obs per landmark inside the window
+TRI_CAP = 256           # compacted triangulations downloaded per neighbor
 
 
 class DeviceKfCache:
@@ -150,9 +151,12 @@ def _fuse_project_batch(cam, scale_factor, n_levels, tg_idx, poses, tvalid,
                       ).astype(jnp.int32)
         radius = 3.0 * scale_factor ** po.astype(jnp.float32)
         proj_uv = jnp.stack([u, v], axis=1)
-        return matching.windowed_projection_match(
+        idx, dist = matching.windowed_projection_match(
             proj_uv, ok, Pdesc, po, uv, fvalid, desc, octv.astype(jnp.int32),
             radius, th=matching.TH_LOW)
+        # halve the download: feature index fits int16, Hamming distance
+        # (≤256) fits f16 exactly
+        return idx.astype(jnp.int16), dist.astype(jnp.float16)
 
     return jax.vmap(one)(poses, uvs, descs, octs, fvalids, tvalid)
 
@@ -188,8 +192,12 @@ def _triangulate_batch(cam, scale_factor, kf_idx, T1, unbound1,
     triangulation + parallax/cheirality/reprojection gates.
 
     Keyframe features GATHER from the device mirror by id (no per-call
-    host upload). Returns (idx (NB, N) best neighbor feature per current
-    feature or −1, ok (NB, N) acceptance, X (NB, N, 3) points)."""
+    host upload). Results COMPACT on device to ``TRI_CAP`` accepted
+    pairs per neighbor — the full (NB, N) idx/ok/X download was ~500 KB
+    per keyframe (~40 ms on the measurement tunnel) for a few hundred
+    accepted triangulations. Returns (f1 (NB, C) current-feature index
+    int16, f2 (NB, C) neighbor-feature index int16, X (NB, C, 3) points,
+    cnt (NB,) accepted count)."""
     K = None if cam_mod.is_fisheye(cam) else cam.K
     uv1 = d_uv[kf_idx]
     desc1 = d_desc[kf_idx]
@@ -244,7 +252,14 @@ def _triangulate_batch(cam, scale_factor, kf_idx, T1, unbound1,
         Xs = jnp.nan_to_num(X)
         ok &= reproj_ok(Xs, T1, uv1, oct1)
         ok &= reproj_ok(Xs, T2, uv2[f2], oct2[f2])
-        return idx, ok & valid, Xs
+        ok = ok & valid
+        # device-side compaction: accepted pairs first (stable → ascending
+        # feature id, matching the old host iteration order)
+        order = jnp.argsort(~ok)[:TRI_CAP]
+        return (order.astype(jnp.int16),
+                f2[order].astype(jnp.int16),
+                Xs[order],
+                ok.sum().astype(jnp.int32))
 
     return jax.vmap(one)(T2s, uv2s, desc2s, ang2s, oct2s, unbound2s, pair_valid)
 
@@ -265,6 +280,9 @@ class LocalMapper:
         #   taxonomy: kf_insert/mp_cull/mp_create/lba/kf_cull)
         self._last_job_s = 0.0      # wall time of the previous mapping job
         self.lba_budget_s = 0.4     # above this, LBA iterations throttle
+        self.backlog_fn = None      # wired by System: keyframes queued
+        #   behind this job (reference mbAbortBA pressure signal)
+        self._lba_skipped = 0       # consecutive skips under backlog
 
     def _stage(self, name):
         import contextlib
@@ -321,11 +339,21 @@ class LocalMapper:
                 else:
                     # pressure-adaptive iteration budget — the reference
                     # ABORTS local BA when the next keyframe arrives
-                    # (mbAbortBA, Optimizer.cc:1173); here the previous
-                    # job's wall time throttles the budget instead so the
-                    # async plane keeps up with the keyframe cadence
-                    iters = 10 if self._last_job_s < self.lba_budget_s else 5
-                    self.local_bundle_adjustment(kf_id, n_iters=iters)
+                    # (mbAbortBA, Optimizer.cc:1173: InsertKeyFrame sets
+                    # the flag and the solve bails between iterations).
+                    # Here the QUEUE BACKLOG throttles the same way:
+                    # nothing queued → full 10 iterations; one queued →
+                    # short solve; ≥2 queued → abort-at-zero (skip), but
+                    # never more than twice in a row so a sustained
+                    # backlog cannot starve the window of refinement.
+                    backlog = (self.backlog_fn()
+                               if self.backlog_fn is not None else 0)
+                    if backlog >= 2 and self._lba_skipped < 2:
+                        self._lba_skipped += 1
+                    else:
+                        self._lba_skipped = 0
+                        iters = 10 if backlog == 0 else 4
+                        self.local_bundle_adjustment(kf_id, n_iters=iters)
         with self._stage("kf_cull"):
             self._keyframe_culling(kf_id)
         self._last_job_s = _time.perf_counter() - _t0
@@ -598,6 +626,9 @@ class LocalMapper:
         nb_idx = np.zeros(NB, np.int32)
         nb_idx[: len(nb)] = nb
         c = self.dev_cache
+        import time as _time
+
+        _t0 = _time.perf_counter()
         out = _triangulate_batch(
             self.geo_cam, float(self.cfg.orb.scale_factor),
             jnp.asarray(np.int32(kf_id)), jnp.asarray(m.kf_pose[kf_id]),
@@ -607,26 +638,37 @@ class LocalMapper:
             jnp.asarray(pair_valid),
             c.d_uv, c.d_desc, c.d_oct, c.d_angle,
         )
-        idx_b, ok_b, X_b = jax.device_get(out)
+        f1_b, f2_b, X_b, cnt_b = jax.device_get(out)
+        if self.timer is not None:
+            self.timer.record("tri_fetch", _time.perf_counter() - _t0)
 
         created_all = []
         claimed1 = ~unbound1
         for a in range(len(nb)):
             if not pair_valid[a]:
                 continue
-            ok = ok_b[a] & ~claimed1
-            sel = np.nonzero(ok)[0]
-            if sel.size == 0:
+            n = int(cnt_b[a])
+            if n > TRI_CAP:
+                # no silent caps (SURVEY §5): compaction dropped the tail
+                from orb_slam3_rgbl_tpu.utils.logging import log
+
+                log("triangulation: %d accepted pairs beyond the %d "
+                    "download cap dropped" % (n - TRI_CAP, TRI_CAP))
+                n = TRI_CAP
+            if n == 0:
                 continue
             k2 = int(nb[a])
-            f1s = sel
-            f2s = idx_b[a][sel]
+            f1s = f1_b[a][:n].astype(np.int64)
+            f2s = f2_b[a][:n].astype(np.int64)
+            X = X_b[a][:n]
+            # features already claimed by an earlier neighbor this pass
+            keep = ~claimed1[f1s]
+            f1s, f2s, X = f1s[keep], f2s[keep], X[keep]
             # drop features on the neighbor side already bound/claimed
             good2 = m.kf_lm_idx[k2, f2s] < 0
-            f1s, f2s = f1s[good2], f2s[good2]
+            f1s, f2s, X = f1s[good2], f2s[good2], X[good2]
             if f1s.size == 0:
                 continue
-            X = X_b[a][f1s]
             claimed1[f1s] = True
             vecs = X - c1[None, :]
             dd = np.linalg.norm(vecs, axis=-1)
@@ -666,6 +708,9 @@ class LocalMapper:
         (reference ``Optimizer::LocalBundleAdjustment`` semantics: current
         KF + covisible neighbors optimized, their landmarks, plus fixed
         observer keyframes; writeback under map version bump)."""
+        import time as _time
+
+        _t_asm0 = _time.perf_counter()
         w = self.map.covisibility_weights(kf_id)
         order = np.argsort(-w)
         opt_ids = [kf_id] + [int(k) for k in order if w[k] > 0][: BA_POSES_CAP // 2 - 1]
@@ -727,9 +772,7 @@ class LocalMapper:
 
             log("local BA: %d observations beyond the %d-per-landmark cap "
                 "dropped" % (self.map.last_dropped_obs, BA_OBS_CAP))
-        lms = np.zeros((Mw, 3), np.float32)
         lm_valid = np.zeros(Mw, bool)
-        lms[: lm_ids.size] = self.map.lm_pos[lm_ids]
         lm_valid[: lm_ids.size] = True
 
         def pad_obs(a, fill=0):
@@ -738,10 +781,12 @@ class LocalMapper:
             return out
 
         # observation pixels / pseudo-stereo / weights GATHER from the
-        # device feature mirror (uploading them cost ~0.5 MB per solve)
+        # device feature mirror (uploading them cost ~0.5 MB per solve);
+        # index uploads ride as int16/int8 (another ~0.45 MB/solve on the
+        # tunnel) and widen on device
         kf_global = window[np.clip(obs_kf, 0, len(window) - 1)]
-        kfg_dev = jnp.asarray(pad_obs(kf_global.astype(np.int32)))
-        feat_dev = jnp.asarray(pad_obs(obs_feat))
+        kfg_dev = jnp.asarray(pad_obs(kf_global.astype(np.int16))).astype(jnp.int32)
+        feat_dev = jnp.asarray(pad_obs(obs_feat.astype(np.int16))).astype(jnp.int32)
         mask_dev = jnp.asarray(pad_obs(obs_mask))
         c = self.dev_cache
         obs_uv_dev = c.d_uv[kfg_dev, feat_dev]
@@ -756,12 +801,15 @@ class LocalMapper:
             pose_valid=jnp.asarray(pose_valid),
             landmarks=jnp.asarray(pad_obs(self.map.lm_pos[lm_ids])),
             lm_valid=jnp.asarray(lm_valid),
-            obs_kf=jnp.asarray(pad_obs(obs_kf)),
+            obs_kf=jnp.asarray(pad_obs(obs_kf.astype(np.int8))).astype(jnp.int32),
             obs_uv=obs_uv_dev,
             obs_ur=obs_ur_dev,
             obs_inv_sigma2=inv_s2_dev,
             obs_mask=mask_dev,
         )
+        if self.timer is not None:
+            self.timer.record("lba_asm", _time.perf_counter() - _t_asm0)
+        _t_sol0 = _time.perf_counter()
         res = local_ba.bundle_adjust(problem, self.geo_cam,
                                      iterations=iterations, n_iters=n_iters)
 
@@ -778,7 +826,10 @@ class LocalMapper:
             mrows, dcols = np.nonzero(bad_obs)
             kfg = window[obs_kf[mrows, dcols]]
             self.map.kf_lm_idx[kfg, obs_feat[mrows, dcols]] = -1
+            self.map.cull_orphans(lm_ids[np.unique(mrows)])
         self.map.version += 1
+        if self.timer is not None:
+            self.timer.record("lba_solve", _time.perf_counter() - _t_sol0)
 
     # ------------------------------------------------------------------
     VI_OPT_WINDOW = 10   # optimizable temporal states (Optimizer.cc:2392)
@@ -852,12 +903,7 @@ class LocalMapper:
                 preints.append(pre.preintegrate(
                     _jnp.zeros((2, 3), _jnp.float32), _jnp.zeros((2, 3), _jnp.float32),
                     _jnp.zeros(2, _jnp.float32), _jnp.zeros(2, bool), pre.ImuBias.zero()))
-        meas = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *preints)
-        dts = np.maximum(np.asarray(meas.dt), 1e-3)
         icfg = self.cfg.imu
-        info_bg = 1.0 / np.maximum(icfg.gyro_walk ** 2 * dts, 1e-12)
-        info_ba = 1.0 / np.maximum(icfg.acc_walk ** 2 * dts, 1e-12)
-
         fixed = np.zeros(Kp, bool)
         fixed[:n_fixed] = True
         fixed[K:] = True          # padded states are inert
@@ -866,15 +912,15 @@ class LocalMapper:
         state_valid = np.zeros(Kp, bool)
         state_valid[:K] = True
 
-        # pad the pair-factor axis (invalid pads use the zero preint)
+        # pad the pair-factor axis (pads repeat the last preint purely for
+        # shape — pair_valid masks them out of every residual)
         n_pairs = len(pair_i)
         for a in range(n_pairs, Kp - 1):
             pair_i.append(0)
             pair_j.append(min(1, Kp - 1))
             pv.append(False)
-            preints.append(preints[-1] if preints else None)
-        if preints and preints[0] is not None:
-            meas = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *preints)
+            preints.append(preints[-1])
+        meas = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *preints)
         dts = np.maximum(np.asarray(meas.dt), 1e-3)
         info_bg = 1.0 / np.maximum(icfg.gyro_walk ** 2 * dts, 1e-12)
         info_ba = 1.0 / np.maximum(icfg.acc_walk ** 2 * dts, 1e-12)
@@ -970,6 +1016,7 @@ class LocalMapper:
             rows, cols = np.nonzero(bad)
             kfg = chain[obs_kf[rows, cols]]
             m.kf_lm_idx[kfg, obs_feat[rows, cols]] = -1
+            m.cull_orphans(lm_ids[np.unique(rows)])
         m.version += 1
 
     def maybe_viba(self, timestamp: float):

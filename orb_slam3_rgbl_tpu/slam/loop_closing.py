@@ -38,13 +38,13 @@ def _pad_pairs(cap, p1, p2, uv1, uv2, s1, s2):
     tier + validity mask. The match count varies per candidate — unpadded
     shapes would compile a fresh Sim3 RANSAC/GN executable per call
     (seconds each on the TPU tunnel; the round-3 bench's mid-run spikes)."""
-    P = len(p1)
-    out = []
+    P = min(len(p1), cap)   # truncate over-capacity match sets (reachable
+    out = []                # when n_features > the hi tier cap)
     for a, fill in ((p1, 0.0), (p2, 0.0), (uv1, 0.0), (uv2, 0.0),
                     (s1, 1.0), (s2, 1.0)):
         a = np.asarray(a, np.float32)
         o = np.full((cap,) + a.shape[1:], fill, np.float32)
-        o[:P] = a
+        o[:P] = a[:P]
         out.append(o)
     vm = np.zeros(cap, bool)
     vm[:P] = True
@@ -208,19 +208,33 @@ class LoopCloser:
     def on_keyframe(self, kf_id: int, run_pose_graph: bool = True) -> Optional[LoopEvent]:
         """Detect + (if verified) correct a loop for the new keyframe, then
         index it. Returns the LoopEvent when a loop was closed."""
-        event = None
+        event = self.detect_only(kf_id)
+        if event is not None:
+            self.apply_event(event, run_pose_graph=run_pose_graph)
+        return event
+
+    def detect_only(self, kf_id: int) -> Optional[LoopEvent]:
+        """Detection half (safe on the loop plane: reads map arrays +
+        mutates only the database/its own consistency state — the
+        reference's LoopClosing thread runs detection concurrently with
+        LocalMapping the same way, LoopClosing.cc:90-308)."""
         # index first: detect_candidates queries the stored signature of
         # kf_id (itself + covisibles are excluded from the results)
         self.db.add(kf_id, self.map.kf_desc[kf_id], self.map.kf_feat_valid[kf_id])
         # reference skips detection until the map holds ≥ 12 KFs
         # (LoopClosing.cc:356) and right after a correction
         if self.map.n_kf >= 12 and kf_id > self.last_loop_kf + 5:
-            event = self._detect(kf_id)
-            if event is not None:
-                self._correct_loop(event, run_pose_graph=run_pose_graph)
-                self.last_loop_kf = kf_id
-                self.events.append(event)
-        return event
+            return self._detect(kf_id)
+        return None
+
+    def apply_event(self, event: LoopEvent, run_pose_graph: bool = True):
+        """Correction half (mutates the whole map — must run serialized
+        with other map mutations: on the mapping worker or a quiesced
+        main thread; the reference stops LocalMapping for CorrectLoop,
+        LoopClosing.cc:975)."""
+        self._correct_loop(event, run_pose_graph=run_pose_graph)
+        self.last_loop_kf = event.kf_cur
+        self.events.append(event)
 
     # ------------------------------------------------------------------
     def _detect(self, kf_id: int) -> Optional[LoopEvent]:
@@ -770,14 +784,12 @@ class LoopCloser:
         if out is not None:
             self._apply_gba(out)
 
-    def _global_ba_solve(self, iterations: int = 6, abort_event=None,
-                         chunk: int = 2):
-        """Whole-map BA solve in abortable chunks (the reference GBA
-        thread polls ``mbStopGBA`` between g2o iterations,
-        LoopClosing.cc:2268-2330). The solve runs on a SNAPSHOT of the
-        map assembled here; writeback + propagation to keyframes created
-        mid-solve happens in :meth:`_apply_gba`. Returns None if aborted."""
-        from orb_slam3_rgbl_tpu.optim import global_ba
+    def _gba_assemble(self):
+        """SNAPSHOT half of the global BA: assemble the whole-map problem
+        from the live arrays. Must run on the thread that owns map
+        mutations at that moment (the mapping worker / caller) — the
+        reference pauses LocalMapping before GBA assembly; assembling on
+        the transient GBA thread would read arrays mid-mutation."""
         from orb_slam3_rgbl_tpu.slam import ba_assembly
         from orb_slam3_rgbl_tpu.slam.frame import inv_scale_sigma2
 
@@ -789,6 +801,17 @@ class LoopCloser:
         )
         pose_before = m.kf_pose.copy()       # staging (mTcwBefGBA analog)
         lm_gen_before = m.lm_gen[lm_ids].copy()
+        return (problem, window, lm_ids, pose_before, lm_gen_before)
+
+    def _gba_iterate(self, snapshot, iterations: int = 6, abort_event=None,
+                     chunk: int = 2):
+        """Solve half: LM iterations on the frozen snapshot in abortable
+        chunks (the reference GBA thread polls ``mbStopGBA`` between g2o
+        iterations, LoopClosing.cc:2268-2330). Touches no live map state —
+        safe on the transient GBA thread. Returns None if aborted."""
+        from orb_slam3_rgbl_tpu.optim import global_ba
+
+        problem, window, lm_ids, pose_before, lm_gen_before = snapshot
         poses, lms = problem.poses, problem.landmarks
         res = None
         it = 0
@@ -802,6 +825,12 @@ class LoopCloser:
             poses, lms = res.poses, res.landmarks
             it += n
         return (window, lm_ids, res, pose_before, lm_gen_before)
+
+    def _global_ba_solve(self, iterations: int = 6, abort_event=None,
+                         chunk: int = 2):
+        """Assembly + solve on the calling thread (synchronous path)."""
+        return self._gba_iterate(self._gba_assemble(), iterations,
+                                 abort_event, chunk)
 
     def _apply_gba(self, out):
         """Staged GBA writeback + correction propagation (reference

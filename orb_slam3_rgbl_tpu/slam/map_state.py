@@ -400,6 +400,22 @@ class MapState:
         self.kf_lm_idx[valid] = tbl
         self.version += 1
 
+    def cull_orphans(self, lm_ids: np.ndarray):
+        """Remove landmarks from ``lm_ids`` left with ZERO observations
+        (the reference never leaves such MapPoints alive: losing the last
+        observation triggers ``SetBadFlag``, MapPoint.cc EraseObservation).
+        Call after any operation that unbinds observations — LBA outlier
+        removal, keyframe culling, binding dedup."""
+        lm_ids = np.unique(np.asarray(lm_ids))
+        lm_ids = lm_ids[(lm_ids >= 0) & (lm_ids < self.capacity_lm)]
+        lm_ids = lm_ids[self.lm_valid[lm_ids]]
+        if lm_ids.size == 0:
+            return
+        counts = self.observation_counts(lm_ids)
+        dead = lm_ids[counts == 0]
+        if dead.size:
+            self.remove_landmarks(dead)
+
     def remove_keyframe(self, kf_id: int):
         """KeyFrame culling: drop the KF and its bindings (landmarks keep
         other observations; observation counts recompute lazily).
@@ -422,9 +438,14 @@ class MapState:
             self.kf_redirect[int(kf_id)] = (parent, np.asarray(T_kp, np.float32))
             orphans = self.lm_ref_kf == kf_id
             self.lm_ref_kf[orphans] = parent
+        mine = self.kf_lm_idx[kf_id]
+        mine = mine[mine >= 0]
         self.kf_valid[kf_id] = False
         self.kf_lm_idx[kf_id] = INVALID
         self.kf_feat_valid[kf_id] = False
+        # landmarks observed ONLY here are now orphans — cull them (the
+        # culling policy lets ≤10% of a redundant KF's points be rare)
+        self.cull_orphans(mine)
         self.version += 1
 
     def live_ref_kf(self, k: int) -> int:

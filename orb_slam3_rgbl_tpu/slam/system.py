@@ -96,6 +96,17 @@ class System:
         from collections import deque
 
         self._map_queue = deque()
+        # loop-closing plane (the reference's third thread,
+        # System.cc:216-217): DETECTION runs on its own executor off the
+        # mapping worker's critical path; verified events queue into
+        # ``_loop_inbox`` and the CORRECTION applies serialized with map
+        # mutations (on the mapping worker between jobs, or on the main
+        # thread at a quiescent point — the reference's RequestStop)
+        self._loop_exec = None
+        self._loop_future = None
+        self._loop_queue = deque()
+        self._loop_inbox = deque()        # (map, LoopEvent) verified
+        self._merge_candidate = None      # (map, kf_id) for _try_merge
         # the transient GBA job (reference LoopClosing.cc:1206 spawns a
         # thread; a new correction aborts a running solve via mbStopGBA)
         self._gba_exec = None
@@ -104,6 +115,7 @@ class System:
         import threading
 
         self._gba_lock = threading.Lock()
+        self._loop_lock = threading.Lock()
         self.P_lidar = jnp.asarray(
             depth_ops.lidar_projection_matrix(
                 np.asarray(self.cam.K), np.asarray(config.lidar.T_velo_cam)
@@ -345,6 +357,10 @@ class System:
     def _spawn_components(self, n_feat: int):
         self._cancel_gba()
         self._map_queue.clear()   # queued keyframes belong to the old map
+        with self._loop_lock:
+            self._loop_queue.clear()
+        self._loop_inbox.clear()
+        self._merge_candidate = None
         if self.atlas is None:
             self.atlas = Atlas(self.cfg, n_feat)
         next_frame = self.tracker.frame_id + 1 if self.tracker is not None else 0
@@ -353,6 +369,9 @@ class System:
         self.mapper = LocalMapper(self.cfg, self.map) if self._enable_mapping else None
         if self.mapper is not None:
             self.mapper.timer = self.timer
+            # queue depth behind the running job = the reference's
+            # mbAbortBA pressure (InsertKeyFrame aborts the LBA)
+            self.mapper.backlog_fn = lambda: len(self._map_queue)
         self.tracker.pre_kf_hook = self._poll_mapping
         self.tracker.join_mapping_fn = self._join_mapping
         if self.mapper is not None:
@@ -363,6 +382,14 @@ class System:
             lambda: len(self._map_queue)
             + (1 if self._map_future is not None
                and not self._map_future.done() else 0) >= 2)
+        # in-flight = ANY worker job may be mutating the map arrays right
+        # now (gates the tracker's direct lm_visible/lm_found writes —
+        # a single running job already races them; the ≥2 busy gate above
+        # is only the keyframe-insertion policy)
+        self.tracker.mapping_inflight_fn = (
+            lambda: bool(self._map_queue)
+            or (self._map_future is not None
+                and not self._map_future.done()))
         if self._fast is not None:
             self.tracker.fast = self._fast
         if self.cfg.loop_closing:
@@ -384,19 +411,38 @@ class System:
         SetNotStop / queue-drain gates before structural operations).
         Atlas merges surfaced by the worker run HERE, on the calling
         thread — merging rebinds the tracker and must not race it."""
-        while self._map_future is not None or self._map_queue:
-            if self._map_future is None:
-                self._submit_mapping_worker()
-            pending = self._map_future.result()
-            self._map_future = None
-            if self._fast is not None:
-                self._fast.hold = False
-            if self.tracker is not None:
-                # deferred lm_visible/lm_found bumps land now, against the
-                # settled arrays and BEFORE any merge remaps the ids
-                self.tracker.flush_stat_buffer()
-            if pending is not None:
-                self._try_merge(pending)
+        while True:
+            while self._map_future is not None or self._map_queue:
+                if self._map_future is None:
+                    self._submit_mapping_worker()
+                pending = self._map_future.result()
+                self._map_future = None
+                if self._fast is not None:
+                    self._fast.hold = False
+                if self.tracker is not None:
+                    # deferred lm_visible/lm_found bumps land now, against
+                    # the settled arrays and BEFORE any merge remaps ids
+                    self.tracker.flush_stat_buffer()
+                if pending is not None:
+                    self._try_merge(pending)
+            # drain the loop-closing plane; its detections may enqueue
+            # corrections (applied here — the mapping plane is idle)
+            lf = self._loop_future
+            if lf is not None:
+                lf.result()
+                with self._loop_lock:
+                    if self._loop_future is lf and not self._loop_queue:
+                        self._loop_future = None
+            self._apply_loop_events()
+            mc = self._merge_candidate
+            if mc is not None:
+                self._merge_candidate = None
+                if mc[0] is self.map:
+                    self._try_merge(mc[1])
+            if (self._map_future is None and not self._map_queue
+                    and self._loop_future is None and not self._loop_queue
+                    and not self._loop_inbox):
+                break
         if self.loop_closer is not None:
             self._poll_gba()
 
@@ -416,19 +462,101 @@ class System:
                 self._try_merge(pending)
             if self._map_queue:
                 self._submit_mapping_worker()
-        if self.loop_closer is not None:
-            self._poll_gba()
+        # with the mapping plane idle this thread owns map mutations:
+        # land cross-map merges and the GBA writeback (the reference
+        # stops LocalMapping before each — MergeLocal / the staged GBA
+        # swap). Queued loop CORRECTIONS go back to the worker instead of
+        # running here: a correction costs ~0.5 s and would block the
+        # tracking frame that triggered this poll.
+        if self._map_future is None and not self._map_queue:
+            if self._loop_inbox:
+                self._submit_mapping_worker()
+                return
+            mc = self._merge_candidate
+            if mc is not None:
+                self._merge_candidate = None
+                if mc[0] is self.map:
+                    self._try_merge(mc[1])
+            if self.loop_closer is not None:
+                self._poll_gba()
 
     def _mapping_job(self, kf_id: int, defer_merge: bool):
+        import contextlib
+
         if self.mapper is not None and self.map.n_kf > 1:
             self.mapper.process_keyframe(kf_id)
-        if self.loop_closer is not None:
-            ev = self.loop_closer.on_keyframe(kf_id)
+        if self.loop_closer is None:
+            return None
+        if not defer_merge:
+            # synchronous plane (tests / inertial): detect + correct inline
+            with (self.timer.stage("pr") if self.timer is not None
+                  else contextlib.nullcontext()):
+                ev = self.loop_closer.on_keyframe(kf_id)
             if ev is None:
-                if defer_merge:
-                    return kf_id       # merge candidate → main thread
                 self._try_merge(kf_id)
+            return None
+        # async engine: detection on the loop-closing plane — the mapping
+        # worker moves straight to the next keyframe
+        self._enqueue_loop_detect(kf_id)
         return None
+
+    # -- loop-closing plane (reference LoopClosing thread) --------------
+    def _enqueue_loop_detect(self, kf_id: int):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with self._loop_lock:
+            self._loop_queue.append(kf_id)
+            if self._loop_exec is None:
+                self._loop_exec = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="loop")
+            if self._loop_future is None or self._loop_future.done():
+                self._loop_future = self._loop_exec.submit(self._loop_worker)
+
+    def _loop_worker(self):
+        """Drain the detection queue (LoopClosing::Run poll loop)."""
+        import contextlib
+
+        while True:
+            with self._loop_lock:
+                if not self._loop_queue:
+                    return
+                kf_id = self._loop_queue.popleft()
+            lc = self.loop_closer
+            if lc is None:
+                continue
+            try:
+                with (self.timer.stage("pr") if self.timer is not None
+                      else contextlib.nullcontext()):
+                    ev = lc.detect_only(kf_id)
+            except Exception:
+                import traceback
+                from orb_slam3_rgbl_tpu.utils.logging import log
+
+                log("loop detection failed:\n" + traceback.format_exc())
+                continue
+            if lc is not self.loop_closer:
+                continue               # components respawned mid-detect
+            if ev is not None:
+                self._loop_inbox.append((self.map, ev))
+            else:
+                self._merge_candidate = (self.map, kf_id)
+
+    def _apply_loop_events(self):
+        """Run queued corrections. Caller must own map mutations (the
+        mapping worker between jobs, or the main thread with the worker
+        idle) — the reference's LocalMapping::RequestStop exclusion."""
+        import contextlib
+
+        while self._loop_inbox:
+            ev_map, ev = self._loop_inbox.popleft()
+            if ev_map is not self.map or self.loop_closer is None:
+                continue               # stale: map replaced since detection
+            if not (self.map.kf_valid[ev.kf_cur]
+                    and self.map.kf_valid[ev.kf_matched]):
+                continue               # a side was culled since detection
+            with (self.timer.stage("opt_essential") if self.timer is not None
+                  else contextlib.nullcontext()):
+                self.loop_closer.apply_event(ev)
 
     # -- transient GBA job (reference LoopClosing.cc:1206/2268) ---------
     def _dispatch_gba(self):
@@ -441,6 +569,11 @@ class System:
         import threading
         from concurrent.futures import ThreadPoolExecutor
 
+        # assemble the snapshot HERE — on the thread that currently owns
+        # map mutations (the mapping worker inside _correct_loop); only
+        # the pure solve runs on the GBA thread (ADVICE r4: assembling on
+        # the GBA thread read live arrays mid-mutation)
+        snapshot = self.loop_closer._gba_assemble()
         with self._gba_lock:
             self._abort_gba_locked()
             if self._gba_exec is None:
@@ -448,7 +581,7 @@ class System:
                     max_workers=1, thread_name_prefix="gba")
             self._gba_abort = threading.Event()
             self._gba_future = self._gba_exec.submit(
-                self.loop_closer._global_ba_solve, 6, self._gba_abort)
+                self.loop_closer._gba_iterate, snapshot, 6, self._gba_abort)
 
     def _abort_gba_locked(self):
         if self._gba_future is not None:
@@ -476,8 +609,10 @@ class System:
             return
         self._map_queue.append(kf_id)
         if self._map_future is None or self._map_future.done():
-            self._poll_mapping()          # land a finished job first
-            if self._map_queue:
+            self._poll_mapping()          # land a finished job first (it
+            # resubmits when the queue is non-empty) — submitting again
+            # here would orphan that job's future and drop its merge result
+            if self._map_queue and self._map_future is None:
                 self._submit_mapping_worker()
 
     def _submit_mapping_worker(self):
@@ -494,6 +629,17 @@ class System:
         (applied on the main thread at a structural point)."""
         pending = None
         while True:
+            # corrections from the loop plane apply between jobs — this
+            # thread owns map mutations while it runs (hold the fast
+            # path's window refresh across the wholesale pose rewrite)
+            if self._loop_inbox:
+                if self._fast is not None:
+                    self._fast.hold = True
+                try:
+                    self._apply_loop_events()
+                finally:
+                    if self._fast is not None:
+                        self._fast.hold = False
             try:
                 kf_id = self._map_queue.popleft()
             except IndexError:
@@ -514,7 +660,8 @@ class System:
     def _post_track(self, res: TrackResult) -> TrackResult:
         """Mapping / loop-closing / recovery phases after the tracking
         stage (the reference's THREAD 2/3 handoffs, System.cc:198-217)."""
-        if (self._map_future is not None and self._map_future.done()):
+        if ((self._map_future is not None and self._map_future.done())
+                or (self._loop_inbox and self._map_future is None)):
             self._poll_mapping()
         for kf_id in self.tracker.new_kf_ids:
             if kf_id == self.tracker.new_kf_ids[-1]:
@@ -570,6 +717,9 @@ class System:
         if self._map_exec is not None:
             self._map_exec.shutdown(wait=True)
             self._map_exec = None
+        if self._loop_exec is not None:
+            self._loop_exec.shutdown(wait=True)
+            self._loop_exec = None
         if self._gba_exec is not None:
             self._gba_exec.shutdown(wait=True)
             self._gba_exec = None
@@ -687,6 +837,12 @@ class System:
         self._map_queue = _dq(
             int(res.kf_remap[k]) for k in list(self._map_queue)
             if 0 <= k < len(res.kf_remap) and res.kf_remap[k] >= 0)
+        # queued loop detections / events carry old ids too — drop them
+        # (the weld itself suppresses re-detection around the seam)
+        with self._loop_lock:
+            self._loop_queue.clear()
+        self._loop_inbox.clear()
+        self._merge_candidate = None
 
         # --- weld-window bundle adjustment (LoopClosing.cc:1623-1627;
         # inertial maps use MergeInertialBA, Optimizer.cc:4875 — here the
@@ -790,6 +946,10 @@ class System:
         components materialize on the next frame."""
         self._join_mapping()
         self._cancel_gba()
+        with self._loop_lock:
+            self._loop_queue.clear()
+        self._loop_inbox.clear()
+        self._merge_candidate = None
         self.atlas = None
         self.map = None
         self.tracker = None

@@ -84,6 +84,9 @@ class Tracker:
         self.join_mapping_fn = None  # wired by System: blocks until the
         #   in-flight async mapping job lands — the classic per-stage
         #   ladder reads live map arrays and must not race the worker
+        self.mapping_inflight_fn = None  # wired by System: ANY worker job
+        #   running right now (a single in-flight job already mutates the
+        #   arrays — the ≥2 busy gate above is only the insertion policy)
         self._stat_buffer: list = []  # deferred lm_visible/lm_found bumps
         #   captured while a mapping job is mutating the arrays
         self._reloc_key = jax.random.PRNGKey(13)
@@ -860,13 +863,14 @@ class Tracker:
             # unpadded shapes would compile a fresh PnP executable per call
             from orb_slam3_rgbl_tpu.slam.loop_closing import _pair_tier
 
-            Pn = len(f1)
-            cap = _pair_tier(Pn)
+            cap = _pair_tier(len(f1))
+            Pn = min(len(f1), cap)   # truncate when n_features > hi tier
+            f1, lm, uv, s2 = f1[:Pn], lm[:Pn], uv[:Pn], s2[:Pn]
 
             def padp(a, fill=0.0):
                 a = np.asarray(a, np.float32)
                 o = np.full((cap,) + a.shape[1:], fill, np.float32)
-                o[:Pn] = a
+                o[:Pn] = a[:Pn]
                 return o
 
             vm = np.zeros(cap, bool)
@@ -1332,7 +1336,8 @@ class Tracker:
         async mapping job is in flight the arrays are being mutated (and
         possibly replaced by capacity growth) on the worker thread — the
         increments are buffered and flushed at the next join."""
-        if self.mapping_busy_fn is not None and self.mapping_busy_fn():
+        inflight = self.mapping_inflight_fn or self.mapping_busy_fn
+        if inflight is not None and inflight():
             self._stat_buffer.append(
                 (vis_ids.copy(), vis_gen.copy(), found_ids.copy(), found_gen.copy()))
             return
