@@ -178,7 +178,153 @@ def inertial_pose_optimize(
     active0 = obs.valid
     (x, active, _), _ = jax.lax.scan(round_, (x0, active0, jnp.asarray(1e-2, dtype)), None, length=2)
     s = unpack(x)
-    return s, jnp.sum(active.astype(jnp.int32))
+    # Hessian of the current state at the solution — the seed of the
+    # marginalization-prior chain (the reference recovers the same block
+    # to build ``ConstraintPoseImu`` after the solve, Optimizer.cc:3595+)
+    r_f, w_f = residuals(x, active)
+    J_f = jax.jacfwd(lambda xx: residuals(xx, active)[0])(x)
+    H_cur = J_f.T @ (w_f[:, None] * J_f)
+    return s, jnp.sum(active.astype(jnp.int32)), H_cur
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "iterations"))
+def inertial_pose_optimize_prior(
+    state0: VIState,
+    prev0: VIState,
+    prior_sqrt_info: jax.Array,
+    meas: pre.Preintegrated,
+    obs: PoseObs,
+    T_cb: jax.Array,
+    cam: PinholeCamera,
+    info_bias_g: float = 1e5,
+    info_bias_a: float = 1e4,
+    iterations: int = 8,
+):
+    """``PoseInertialOptimizationLastFrame`` with the carried
+    marginalization prior (reference ``Optimizer.cc:3389+``, prior edge
+    ``EdgePriorPoseImu`` built from ``mpcpi``): a JOINT 30-DoF solve of
+    [previous frame, current frame], where the previous state is
+    constrained by the last solve's marginal information instead of held
+    fixed (the infinite-prior limit the round-4 code used — it
+    over-constrains and biases the bias estimates).
+
+    ``prior_sqrt_info``: (15, 15) lower-triangular L with H_prior = L Lᵀ
+    about the mean ``prev0``; the prior residual Lᵀ·δ_prev keeps the GN
+    weights diagonal.
+
+    Returns (cur VIState, prev VIState, n_visual_inliers,
+    H_marg (15, 15)) — H_marg is the current state's marginal Hessian
+    (prev Schur-eliminated), the next frame's prior (``Marginalize``,
+    Optimizer.cc:2960)."""
+    dtype = state0.Twb.dtype
+    obs = PoseObs(
+        Xw=obs.Xw.astype(dtype), uv=obs.uv.astype(dtype),
+        u_right=obs.u_right.astype(dtype),
+        inv_sigma2=obs.inv_sigma2.astype(dtype), valid=obs.valid,
+    )
+    inert_info = 1.0 / jnp.maximum(jnp.diagonal(meas.cov), 1e-10)
+    inert_info = jnp.minimum(inert_info, 1e6)
+    L = prior_sqrt_info.astype(dtype)
+
+    def unpack_one(base: VIState, d):
+        Twb = lie.se3_mul(lie.se3_exp(d[0:6]), base.Twb)
+        vw = base.vw + d[6:9]
+        bias = pre.ImuBias(base.bias.bg + d[9:12], base.bias.ba + d[12:15])
+        return VIState(Twb, vw, bias)
+
+    def unpack(x):
+        return unpack_one(prev0, x[:15]), unpack_one(state0, x[15:])
+
+    def residuals(x, visual_active):
+        p, s = unpack(x)
+        Tcw = lie.se3_mul(T_cb, lie.se3_inv(s.Twb))
+        pc = lie.se3_apply(Tcw, obs.Xw)
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-6, 1e-6, pc[:, 2])
+        uvh = cam_mod.geo_project(cam, pc)
+        u, v = uvh[:, 0], uvh[:, 1]
+        if cam_mod.is_fisheye(cam):
+            is_stereo = jnp.zeros_like(obs.u_right >= 0)
+            ur = jnp.zeros_like(u)
+        else:
+            is_stereo = obs.u_right >= 0
+            ur = u - cam.bf / z
+        r_vis = jnp.stack(
+            [obs.uv[:, 0] - u, obs.uv[:, 1] - v,
+             jnp.where(is_stereo, obs.u_right - ur, 0.0)], axis=-1
+        ).reshape(-1)
+        w_vis = jnp.repeat(
+            jnp.where(visual_active & (pc[:, 2] > 1e-3), obs.inv_sigma2, 0.0), 3)
+        r_in = pre.inertial_residual(
+            meas,
+            lie.se3_rot(p.Twb), p.vw, lie.se3_trans(p.Twb),
+            lie.se3_rot(s.Twb), s.vw, lie.se3_trans(s.Twb),
+            s.bias,
+        )
+        r_bg = s.bias.bg - p.bias.bg
+        r_ba = s.bias.ba - p.bias.ba
+        r_prior = L.T @ x[:15]          # δᵀ L Lᵀ δ = δᵀ H_prior δ
+        r = jnp.concatenate([r_vis, r_in, r_bg, r_ba, r_prior])
+        w = jnp.concatenate([
+            w_vis, inert_info,
+            jnp.full(3, info_bias_g, dtype), jnp.full(3, info_bias_a, dtype),
+            jnp.ones(15, dtype),
+        ])
+        return r, w
+
+    def chi2_visual(x):
+        _, s = unpack(x)
+        Tcw = lie.se3_mul(T_cb, lie.se3_inv(s.Twb))
+        pc = lie.se3_apply(Tcw, obs.Xw)
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-6, 1e-6, pc[:, 2])
+        uvh = cam_mod.geo_project(cam, pc)
+        u, v = uvh[:, 0], uvh[:, 1]
+        if cam_mod.is_fisheye(cam):
+            is_stereo = jnp.zeros_like(obs.u_right >= 0)
+            ur = jnp.zeros_like(u)
+        else:
+            is_stereo = obs.u_right >= 0
+            ur = u - cam.bf / z
+        e2 = (obs.uv[:, 0] - u) ** 2 + (obs.uv[:, 1] - v) ** 2 + jnp.where(
+            is_stereo, (obs.u_right - ur) ** 2, 0.0
+        )
+        return e2 * obs.inv_sigma2, is_stereo, pc[:, 2] > 1e-3
+
+    def round_(carry, _):
+        x, active, lam = carry
+
+        def it_step(carry2, _):
+            x, lam = carry2
+            dx, cost = _weighted_gn_step(
+                lambda xx: residuals(xx, active), x, 30, lam, dtype)
+            x_new = x + dx
+            r2, w2 = residuals(x_new, active)
+            c_new = jnp.sum(w2 * r2 * r2)
+            ok = (c_new < cost) & jnp.isfinite(c_new)
+            x = jnp.where(ok, x_new, x)
+            lam = jnp.where(ok, lam * 0.5, lam * 4.0)
+            return (x, lam), None
+
+        (x, lam), _ = jax.lax.scan(it_step, (x, lam), None, length=iterations)
+        chi2, is_stereo, depth_ok = chi2_visual(x)
+        th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        active = obs.valid & depth_ok & (chi2 <= th)
+        return (x, active, lam), None
+
+    x0 = jnp.zeros(30, dtype)
+    (x, active, _), _ = jax.lax.scan(
+        round_, (x0, obs.valid, jnp.asarray(1e-2, dtype)), None, length=2)
+    p, s = unpack(x)
+
+    # marginalize the previous state out of the joint Hessian → the
+    # current frame's prior for the next solve (Optimizer::Marginalize)
+    r_f, w_f = residuals(x, active)
+    J_f = jax.jacfwd(lambda xx: residuals(xx, active)[0])(x)
+    H = J_f.T @ (w_f[:, None] * J_f)
+    H_pp = H[:15, :15] + 1e-6 * jnp.eye(15, dtype=dtype)
+    H_pc = H[:15, 15:]
+    H_cc = H[15:, 15:]
+    H_marg = H_cc - H_pc.T @ jnp.linalg.solve(H_pp, H_pc)
+    return s, p, jnp.sum(active.astype(jnp.int32)), H_marg
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "fix_scale"))

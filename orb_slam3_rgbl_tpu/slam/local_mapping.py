@@ -280,9 +280,15 @@ class LocalMapper:
         #   taxonomy: kf_insert/mp_cull/mp_create/lba/kf_cull)
         self._last_job_s = 0.0      # wall time of the previous mapping job
         self.lba_budget_s = 0.4     # above this, LBA iterations throttle
+        self.obs_cap = BA_OBS_CAP   # D — observers kept per landmark in
+        #   local BA (reference keeps EVERY observer; the cap is a TPU
+        #   static-shape budget — measured via BENCH_OBS_CAP)
         self.backlog_fn = None      # wired by System: keyframes queued
         #   behind this job (reference mbAbortBA pressure signal)
         self._lba_skipped = 0       # consecutive skips under backlog
+        self.bad_imu = False        # reference mbBadImu: motion-starved
+        #   VI init → System resets the active map (LocalMapping.cc:144)
+        self._t_init = 0.0          # accumulated well-excited time (mTinit)
 
     def _stage(self, name):
         import contextlib
@@ -304,11 +310,11 @@ class LocalMapper:
                 landmarks=jnp.zeros((Mw, 3), jnp.float32)
                 + jnp.asarray([0.0, 0.0, 10.0], jnp.float32),
                 lm_valid=jnp.ones(Mw, bool),
-                obs_kf=jnp.zeros((Mw, BA_OBS_CAP), jnp.int32),
-                obs_uv=jnp.full((Mw, BA_OBS_CAP, 2), 100.0, jnp.float32),
-                obs_ur=jnp.full((Mw, BA_OBS_CAP), -1.0, jnp.float32),
-                obs_inv_sigma2=jnp.ones((Mw, BA_OBS_CAP), jnp.float32),
-                obs_mask=jnp.ones((Mw, BA_OBS_CAP), bool))
+                obs_kf=jnp.zeros((Mw, self.obs_cap), jnp.int32),
+                obs_uv=jnp.full((Mw, self.obs_cap, 2), 100.0, jnp.float32),
+                obs_ur=jnp.full((Mw, self.obs_cap), -1.0, jnp.float32),
+                obs_inv_sigma2=jnp.ones((Mw, self.obs_cap), jnp.float32),
+                obs_mask=jnp.ones((Mw, self.obs_cap), bool))
             # NOTE: static kwargs must be passed EXACTLY like the real
             # call sites — this jax version caches omitted-default and
             # explicitly-passed static args as different entries
@@ -335,6 +341,7 @@ class LocalMapper:
             # LocalMapping.cc:149 vs :154 selects by sensor + init state)
             with self._stage("lba"):
                 if self.cfg.inertial and self.map.imu_initialized:
+                    self._check_vi_excitation(kf_id)
                     self.local_inertial_bundle_adjustment(kf_id)
                 else:
                     # pressure-adaptive iteration budget — the reference
@@ -357,6 +364,32 @@ class LocalMapper:
         with self._stage("kf_cull"):
             self._keyframe_culling(kf_id)
         self._last_job_s = _time.perf_counter() - _t0
+
+    # ------------------------------------------------------------------
+    def _check_vi_excitation(self, kf_id: int):
+        """Reference bad-IMU detection (LocalMapping.cc:129-146): after
+        IMU init but before VIBA2, a motion-starved stretch (last two
+        inter-KF baselines summing < 2 cm within the first 10 s of
+        excited time) means the inertial init is unreliable — flag the
+        map for reset (``mbBadImu`` → ``ResetActiveMap``)."""
+        if getattr(self, "_viba_stage", 0) >= 2:
+            return
+        m = self.map
+        kfs = m.valid_kf_ids()
+        kfs = kfs[kfs <= kf_id]
+        if kfs.size < 3:
+            return
+        c = lie.np_se3_centers(m.kf_pose[kfs[-3:]])
+        dist = (np.linalg.norm(c[2] - c[1]) + np.linalg.norm(c[1] - c[0]))
+        if dist > 0.05:
+            self._t_init += float(m.kf_timestamp[kfs[-1]]
+                                  - m.kf_timestamp[kfs[-2]])
+        if self._t_init < 10.0 and dist < 0.02:
+            from orb_slam3_rgbl_tpu.utils.logging import log
+
+            log("Not enough motion for VI initialization — flagging map "
+                "for reset (bad IMU)")
+            self.bad_imu = True
 
     # ------------------------------------------------------------------
     def _fuse_into(self, kf: int, lm_ids: np.ndarray, counts: np.ndarray,
@@ -762,7 +795,7 @@ class LocalMapper:
 
         Mw = lm_cap
         obs_kf, obs_feat, obs_mask, obs_uv, obs_ur = self.map.gather_observations(
-            window, lm_ids, BA_OBS_CAP
+            window, lm_ids, self.obs_cap
         )
         self.dev_cache.ensure(self.map, window)
         if self.map.last_dropped_obs:
@@ -771,7 +804,7 @@ class LocalMapper:
             from orb_slam3_rgbl_tpu.utils.logging import log
 
             log("local BA: %d observations beyond the %d-per-landmark cap "
-                "dropped" % (self.map.last_dropped_obs, BA_OBS_CAP))
+                "dropped" % (self.map.last_dropped_obs, self.obs_cap))
         lm_valid = np.zeros(Mw, bool)
         lm_valid[: lm_ids.size] = True
 

@@ -176,6 +176,49 @@ class System:
             self.cfg.orb.n_features, self.cfg.orb.n_levels,
             self.cfg.orb.scale_factor)))
 
+    def _check_timestamp_jump(self, timestamp: float):
+        """Input-stream sanity (reference ``Tracking::Track`` head,
+        Tracking.cc:1855-1888): a BACKWARD timestamp spawns a fresh map
+        (the stream restarted — CreateMapInAtlas); a >1 s FORWARD gap in
+        inertial mode invalidates the preintegration chain — reset the
+        active map (pre-VIBA2) or spawn a new one (after)."""
+        if self.tracker is None or not self.tracker.traj_time:
+            return
+        last = self.tracker.traj_time[-1]
+        if timestamp < last:
+            from orb_slam3_rgbl_tpu.utils.logging import log
+
+            log("ERROR: frame timestamp older than previous frame — "
+                "starting a new map")
+            if self.tracker is not None and hasattr(self.tracker, "_imu_kf_acc"):
+                try:
+                    self.tracker._imu_kf_acc.reset()
+                except AttributeError:
+                    pass
+            self._create_map_in_atlas()
+        elif timestamp > last + 1.0 and self.cfg.inertial:
+            from orb_slam3_rgbl_tpu.utils.logging import log
+
+            log("timestamp jump detected (%.2f s) — resetting" % (timestamp - last))
+            viba2_done = getattr(self.mapper, "_viba_stage", 0) >= 2 \
+                if self.mapper is not None else False
+            if self.map.imu_initialized and viba2_done:
+                self._create_map_in_atlas()
+            else:
+                self.reset_active_map()
+
+    def _create_map_in_atlas(self):
+        """Archive the active map and start tracking in a fresh one
+        (reference ``Tracking::CreateMapInAtlas``)."""
+        n_feat = (self.tracker.n_feat if self.tracker is not None
+                  and self.tracker.n_feat else self._frame_capacity())
+        self._join_mapping()
+        if self.map.n_kf >= 2:
+            self.atlas.archive_trajectory(self.tracker)
+        else:
+            self.atlas.entries.pop(self.atlas.active_idx)
+        self._spawn_components(n_feat)
+
     def track_rgbl(self, gray: np.ndarray, pointcloud: np.ndarray, timestamp: float,
                    cloud_mask: Optional[np.ndarray] = None) -> TrackResult:
         """RGB + raw LiDAR cloud (N, 3|4) — ``System::TrackRGBL``
@@ -187,6 +230,7 @@ class System:
         ``cloud_mask`` (the loaders' padded-cloud validity) rides into the
         fused step's ``depth_valid`` input — masked and unmasked clouds
         share one compiled program."""
+        self._check_timestamp_jump(timestamp)
         if (self.use_fused and self._undistort_cam is None
                 and self.cfg.sensor == RGBL):
             from orb_slam3_rgbl_tpu.slam.fast_path import FastPath
@@ -237,6 +281,7 @@ class System:
 
         Steady-state frames run as ONE fused XLA dispatch, exactly like
         ``track_rgbl`` (the depth source is the only difference)."""
+        self._check_timestamp_jump(timestamp)
         if (self.use_fused and self._undistort_cam is None and imu is None
                 and self.cfg.sensor == RGBD):
             from orb_slam3_rgbl_tpu.slam.fast_path import FastPath
@@ -264,6 +309,7 @@ class System:
         """Stereo pair — ``System::TrackStereo`` (reference
         ``System.cc:253``); unrectified calibrated pairs are rectified
         with the Settings-style precomputed maps first."""
+        self._check_timestamp_jump(timestamp)
         if self.rectifier is not None:
             gray_l, gray_r = self.rectifier.remap(
                 np.asarray(gray_l, np.float32), np.asarray(gray_r, np.float32)
@@ -322,6 +368,7 @@ class System:
         Steady-state frames run as ONE fused XLA dispatch, like the
         depth modes (two-view initialization and recovery stay on the
         classic ladder)."""
+        self._check_timestamp_jump(timestamp)
         from orb_slam3_rgbl_tpu.config import MONOCULAR
 
         if (self.use_fused and self._undistort_cam is None and imu is None
@@ -687,6 +734,15 @@ class System:
                     self.map.kf_ba[self.tracker.ref_kf].copy(),
                 )
 
+        # bad-IMU map reset (reference Tracking.cc:1839-1844 reacting to
+        # LocalMapping's mbBadImu): the VI init was motion-starved —
+        # discard the active map and restart
+        if (self.mapper is not None and getattr(self.mapper, "bad_imu", False)):
+            from orb_slam3_rgbl_tpu.utils.logging import log
+
+            log("TRACK: resetting active map (bad IMU flag)")
+            self.reset_active_map()
+            return res
         # elastic recovery (reference Tracking.cc:2032-2058): persistent
         # LOST with an established map → archive it and start a new one
         if res.state == trk.LOST:

@@ -46,6 +46,19 @@ LOCAL_KF_CAP = 80     # reference caps local keyframes at 80 (Tracking.cc:3543)
 MONO_INIT_CAP = 1024  # fixed match capacity for two-view reconstruction
 
 
+def _sqrt_info(H: np.ndarray, cap: float = 1e8) -> np.ndarray:
+    """L with L·Lᵀ ≈ the PSD projection of H — the marginal information
+    carried between VI pose solves (the reference stores the matrix
+    itself in ``ConstraintPoseImu``; the square root keeps the joint GN
+    weights diagonal). Eigenvalues clip to [0, cap] so the chained prior
+    can never harden into the fixed-anchor (infinite-information) limit
+    it replaces."""
+    Hs = 0.5 * (H + H.T)
+    w, V = np.linalg.eigh(Hs)
+    w = np.clip(w, 0.0, cap)
+    return np.asarray(V @ np.diag(np.sqrt(w)), np.float32)
+
+
 @dataclasses.dataclass
 class TrackResult:
     pose: np.ndarray          # (7,) Tcw
@@ -134,6 +147,7 @@ class Tracker:
             # against (PoseInertialOptimizationLastFrame anchoring)
             self._last_frame_vi = None
             self._last_frame_map_version = -1
+            self._vi_prior_L = None   # marginalization prior chain (mpcpi)
         # RECENTLY_LOST grace window (reference time_recently_lost, ~5 s:
         # inertial modes dead-reckon on IMU prediction before giving up,
         # Tracking.cc:2019-2053)
@@ -521,18 +535,19 @@ class Tracker:
 
         Anchor selection mirrors the reference ``TrackLocalMap``
         (Tracking.cc:3019-3036): when the map has NOT changed since the
-        last frame was solved, anchor to the LAST FRAME's state with the
-        frame-to-frame preintegration (``PoseInertialOptimizationLastFrame``,
-        Optimizer.h:50-99); otherwise anchor to the last keyframe
-        (``PoseInertialOptimizationLastKeyFrame``). Deviation: the anchor
-        state is held fixed (the reference optimizes both states with the
-        previous solve's marginalization prior ``mpcpi`` — holding the
-        anchor is the infinite-prior limit)."""
+        last frame was solved, a JOINT solve with the LAST FRAME's state
+        under the previous solve's marginalization prior
+        (``PoseInertialOptimizationLastFrame`` + ``mpcpi``,
+        Optimizer.cc:3389+), re-marginalized each frame
+        (``Optimizer::Marginalize``); otherwise anchor to the last
+        keyframe held fixed (``PoseInertialOptimizationLastKeyFrame``),
+        which seeds a fresh prior chain."""
         from orb_slam3_rgbl_tpu.optim import inertial
         from orb_slam3_rgbl_tpu.imu import preintegration as pre
 
         prev = None
         meas = None
+        prior_L = None
         if (self._last_frame_vi is not None
                 and self._last_frame_map_version == self.map.version
                 and self._imu_frame_acc.n >= 2):
@@ -541,6 +556,7 @@ class Tracker:
             prev = inertial.VIState(Twb=jnp.asarray(Twb_l),
                                     vw=jnp.asarray(vw_l), bias=bias_l)
             meas = self._imu_frame_acc.preintegrate(bias_l)
+            prior_L = getattr(self, "_vi_prior_L", None)
         if meas is None:
             k = self._last_imu_kf
             prev = self._kf_vi_state(k)
@@ -548,6 +564,7 @@ class Tracker:
                 pre.ImuBias(jnp.asarray(self.map.kf_bg[k]),
                             jnp.asarray(self.map.kf_ba[k]))
             )
+            prior_L = None
         if meas is None:
             return 0
         bound = lm_idx >= 0
@@ -565,9 +582,17 @@ class Tracker:
             vw=jnp.asarray(getattr(self, "_pred_vel", self.cur_vel)),
             bias=prev.bias,
         )
-        out, n_inl = inertial.inertial_pose_optimize(
-            state0, prev, meas, obs, jnp.asarray(self.T_cb), self.geo_cam
-        )
+        if prior_L is not None:
+            out, _prev_out, n_inl, H_marg = inertial.inertial_pose_optimize_prior(
+                state0, prev, jnp.asarray(prior_L), meas, obs,
+                jnp.asarray(self.T_cb), self.geo_cam
+            )
+        else:
+            out, n_inl, H_marg = inertial.inertial_pose_optimize(
+                state0, prev, meas, obs, jnp.asarray(self.T_cb), self.geo_cam
+            )
+        # carry the marginal information forward (the mpcpi chain)
+        self._vi_prior_L = _sqrt_info(np.asarray(H_marg, np.float64))
         self.cur_pose = self._cam_pose(out.Twb)
         self.cur_vel = np.asarray(out.vw, np.float32)
         self.cur_bias = (np.asarray(out.bias.bg, np.float32),
@@ -1397,6 +1422,7 @@ class Tracker:
         if hasattr(self, "cur_lm_idx"):
             self.cur_lm_idx = remap_lms(self.cur_lm_idx)
         self._stat_buffer.clear()  # pre-merge ids are void
+        self._vi_prior_L = None    # prior chain is frame-local state
         if self.ref_kf >= 0:
             self.ref_kf = int(kf_remap[self.ref_kf])
         if self.inertial:
