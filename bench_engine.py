@@ -95,6 +95,37 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     log(f"rendered {n_frames} frames in {time.perf_counter()-t0:.1f}s "
         f"on {jax.devices()[0]}")
 
+    if os.environ.get("BENCH_VOCAB", "lsh") == "tree":
+        # trained DBoW2-equivalent k-ary vocabulary in the real engine
+        # loop (VERDICT r5 #8): train on descriptors extracted from a
+        # spread of this run's own frames — the reference trains ORBvoc
+        # offline the same way, on survey imagery
+        import tempfile
+
+        from orb_slam3_rgbl_tpu.slam import frame as frame_mod
+        from orb_slam3_rgbl_tpu.retrieval.tree_vocab import train_vocabulary
+
+        t0 = time.perf_counter()
+        docs = []
+        for i in range(0, min(n_frames, 96), 8):
+            f = frame_mod.extract_features(
+                imgs[i], cam.height, cam.width,
+                n_features=cfg.orb.n_features, n_levels=cfg.orb.n_levels,
+                scale_factor=cfg.orb.scale_factor,
+                ini_th=float(cfg.orb.ini_th_fast),
+                min_th=float(cfg.orb.min_th_fast))
+            d, v = jax.device_get((f.desc, f.valid))
+            docs.append(np.asarray(d)[np.asarray(v)])
+        voc = train_vocabulary(np.concatenate(docs), k=8, depth=3, seed=0,
+                               idf_docs=docs)
+        vp = os.path.join(tempfile.gettempdir(), "bench_tree_vocab.npz")
+        voc.save(vp)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, vocab_path=vp)
+        log(f"tree vocab: trained {voc.n_words} words in "
+            f"{time.perf_counter()-t0:.1f}s")
+
     sysm = System(cfg)
     sysm.CLOUD_CAP = int(clouds[0].shape[0])
     if os.environ.get("BENCH_ASYNC_MAPPING", "1") == "1":
@@ -106,6 +137,11 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     t0 = time.perf_counter()
     for i in range(warmup - 3):
         sysm.track_rgbl(imgs[i], clouds[i], i * 0.1)
+        if i == 0 and sysm.mapper is not None:
+            # observation-cap experiment lever (VERDICT r5 #6) — set
+            # before ANY local BA compiles so the whole run (warmup
+            # included) uses one D
+            sysm.mapper.obs_cap = int(os.environ.get("BENCH_OBS_CAP", "8"))
     # force-compile the classic per-stage ladder (reloc/recovery path) so
     # a mid-run fallback frame costs milliseconds, not a compile
     sysm.use_fused = False
@@ -193,6 +229,8 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
         "loop_events": n_loops,
         "ok_frac": round(ok_frac, 3),
         "n_landmarks": int(sysm.map.lm_valid.sum()),
+        "vocab": os.environ.get("BENCH_VOCAB", "lsh"),
+        "obs_cap": int(os.environ.get("BENCH_OBS_CAP", "8")),
     }
 
 

@@ -116,6 +116,9 @@ class System:
 
         self._gba_lock = threading.Lock()
         self._loop_lock = threading.Lock()
+        # live viewer (reference Viewer thread, System.cc:236-244);
+        # created on demand via start_viewer()
+        self._viewer = None
         self.P_lidar = jnp.asarray(
             depth_ops.lidar_projection_matrix(
                 np.asarray(self.cam.K), np.asarray(config.lidar.T_velo_cam)
@@ -231,6 +234,8 @@ class System:
         fused step's ``depth_valid`` input — masked and unmasked clouds
         share one compiled program."""
         self._check_timestamp_jump(timestamp)
+        if self._viewer is not None:
+            self._viewer.latest_img = gray   # FrameDrawer::Update feed
         if (self.use_fused and self._undistort_cam is None
                 and self.cfg.sensor == RGBL):
             from orb_slam3_rgbl_tpu.slam.fast_path import FastPath
@@ -282,6 +287,8 @@ class System:
         Steady-state frames run as ONE fused XLA dispatch, exactly like
         ``track_rgbl`` (the depth source is the only difference)."""
         self._check_timestamp_jump(timestamp)
+        if self._viewer is not None:
+            self._viewer.latest_img = gray
         if (self.use_fused and self._undistort_cam is None and imu is None
                 and self.cfg.sensor == RGBD):
             from orb_slam3_rgbl_tpu.slam.fast_path import FastPath
@@ -369,6 +376,8 @@ class System:
         depth modes (two-view initialization and recovery stay on the
         classic ladder)."""
         self._check_timestamp_jump(timestamp)
+        if self._viewer is not None:
+            self._viewer.latest_img = gray
         from orb_slam3_rgbl_tpu.config import MONOCULAR
 
         if (self.use_fused and self._undistort_cam is None and imu is None
@@ -474,12 +483,11 @@ class System:
                     self._try_merge(pending)
             # drain the loop-closing plane; its detections may enqueue
             # corrections (applied here — the mapping plane is idle)
-            lf = self._loop_future
+            with self._loop_lock:
+                self._kick_loop_worker_locked()
+                lf = self._loop_future
             if lf is not None:
                 lf.result()
-                with self._loop_lock:
-                    if self._loop_future is lf and not self._loop_queue:
-                        self._loop_future = None
             self._apply_loop_events()
             mc = self._merge_candidate
             if mc is not None:
@@ -549,15 +557,22 @@ class System:
 
     # -- loop-closing plane (reference LoopClosing thread) --------------
     def _enqueue_loop_detect(self, kf_id: int):
-        from concurrent.futures import ThreadPoolExecutor
-
         with self._loop_lock:
             self._loop_queue.append(kf_id)
-            if self._loop_exec is None:
-                self._loop_exec = ThreadPoolExecutor(
-                    max_workers=1, thread_name_prefix="loop")
-            if self._loop_future is None or self._loop_future.done():
-                self._loop_future = self._loop_exec.submit(self._loop_worker)
+            self._kick_loop_worker_locked()
+
+    def _kick_loop_worker_locked(self):
+        """(Re)start the detection worker if items are queued and no live
+        worker will see them. Caller holds ``_loop_lock``."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not self._loop_queue:
+            return
+        if self._loop_exec is None:
+            self._loop_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="loop")
+        if self._loop_future is None or self._loop_future.done():
+            self._loop_future = self._loop_exec.submit(self._loop_worker)
 
     def _loop_worker(self):
         """Drain the detection queue (LoopClosing::Run poll loop)."""
@@ -566,6 +581,11 @@ class System:
         while True:
             with self._loop_lock:
                 if not self._loop_queue:
+                    # mark no-live-worker ATOMICALLY with the empty check:
+                    # an enqueue racing a worker shutdown would otherwise
+                    # see a not-yet-done future, skip the resubmit, and
+                    # strand its item (observed as a _join_mapping spin)
+                    self._loop_future = None
                     return
                 kf_id = self._loop_queue.popleft()
             lc = self.loop_closer
@@ -765,9 +785,30 @@ class System:
             self._spawn_components(n_feat)
         return res
 
+    # -- live viewer (reference Viewer/FrameDrawer threads) -------------
+    def start_viewer(self, out_dir: str = "viewer_out", hz: float = 2.0,
+                     http_port=None, map_3d: bool = False):
+        """Launch the live-viewer thread (``Viewer::Run`` analog): frame
+        overlay + map view rendered continuously to ``out_dir`` and
+        optionally served over HTTP (headless Pangolin replacement).
+        Returns the :class:`~orb_slam3_rgbl_tpu.viz.live.LiveViewer`."""
+        from orb_slam3_rgbl_tpu.viz.live import LiveViewer
+
+        if self._viewer is None:
+            self._viewer = LiveViewer(self, out_dir=out_dir, hz=hz,
+                                      http_port=http_port, map_3d=map_3d)
+            self._viewer.start()
+        return self._viewer
+
+    def stop_viewer(self):
+        if self._viewer is not None:
+            self._viewer.stop()
+            self._viewer = None
+
     # ------------------------------------------------------------------
     def shutdown(self):
         """Drain the mapping plane (``System::Shutdown``)."""
+        self.stop_viewer()
         self._join_mapping()
         self._poll_gba(wait=True)
         if self._map_exec is not None:
