@@ -58,6 +58,10 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
                      "jax._src.pjit", "jax._src.compiler"):
             logging.getLogger(name).setLevel(logging.INFO)
 
+    from orb_slam3_rgbl_tpu.utils import logging as slam_log
+
+    slam_log.set_level(int(os.environ.get("BENCH_VERBOSE", "1")))
+
     from orb_slam3_rgbl_tpu import synthetic as syn
     from orb_slam3_rgbl_tpu.config import kitti_rgbl_config
     from orb_slam3_rgbl_tpu.geometry.align import ate_rmse
@@ -158,6 +162,8 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     if cadence > 0 and sysm.tracker is not None:
         sysm.tracker.force_kf_every = cadence
         sysm.tracker.deferred_kf = 0
+    if sysm.loop_closer is not None and os.environ.get("BENCH_GBA", "1") == "0":
+        sysm.loop_closer.run_gba = False   # triage: correction without GBA
     if sysm.loop_closer is not None:
         # fix the loop-time solver shapes at generous tiers and compile
         # them now (the first event otherwise stalls ~80 s on tunnel
@@ -196,6 +202,13 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     med_ms = float(np.median(per_frame) * 1e3)
     p95_ms = float(np.percentile(per_frame, 95) * 1e3)
 
+    sp = os.environ.get("BENCH_SAVE")
+    if sp:
+        from orb_slam3_rgbl_tpu.utils import serialization
+
+        serialization.save_map(sp, sysm.map)
+        np.savez(sp + ".gt.npz", traj=traj)
+        log(f"map saved to {sp}")
     est = sysm.trajectory()
     gt = traj[: len(est)]
     err = float(ate_rmse(jnp.asarray(est[:, 4:7]),
@@ -208,6 +221,13 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
     log(f"ok_frac {ok_frac:.3f}; err p50 {np.percentile(per_err,50):.2f} "
         f"p90 {np.percentile(per_err,90):.2f} max {per_err.max():.2f} "
         f"argmax {int(np.argmax(per_err))}")
+    log("err trace (every 10th frame): "
+        + " ".join(f"{x:.1f}" for x in per_err[::10]))
+    if sysm.loop_closer is not None and sysm.loop_closer.events:
+        m = sysm.map
+        log("loop events (cur_frame<-matched_frame): " + ", ".join(
+            f"{int(m.kf_frame_id[ev.kf_cur])}<-{int(m.kf_frame_id[ev.kf_matched])}"
+            for ev in sysm.loop_closer.events))
     n_kf_timed = len(kf_frames)
     deferred = int(getattr(sysm.tracker, "deferred_kf", 0))
     n_loops = len(sysm.loop_closer.events) if sysm.loop_closer else 0

@@ -129,8 +129,9 @@ def _fuse_project_batch(cam, scale_factor, n_levels, tg_idx, poses, tvalid,
     Target features GATHER from the device keyframe mirror by id
     (``DeviceKfCache``) — no per-call host upload of keyframe blocks.
 
-    Returns (idx (T, cap) matched feature per landmark slot or −1,
-    dist (T, cap))."""
+    Returns (idx (T, cap) int16 matched feature per landmark slot or −1,
+    dist (T, cap) f16 — Hamming ≤ 256 is exact in f16; the narrow dtypes
+    halve the host download)."""
     uvs = d_uv[tg_idx]
     descs = d_desc[tg_idx]
     octs = d_oct[tg_idx]
@@ -504,11 +505,11 @@ class LocalMapper:
         n_ops = 0
         touched = []
         # forward: this KF's landmarks into every neighbor — ALL targets
-        # in ONE dispatch + one download (the per-target loop was
-        # round-trip-bound on the TPU tunnel)
+        # in ONE dispatch + one download (round trips dominate on the
+        # shared tunnel queue)
         TB = 16
-        tg = np.asarray(targets[:TB], np.int64)
-        if own.size and tg.size:
+        tg_all = np.asarray(targets[:TB], np.int64)
+        if own.size and tg_all.size:
             own_c = own[:cap]
             n = own_c.size
             P = np.zeros((cap, 3), np.float32)
@@ -519,12 +520,14 @@ class LocalMapper:
             Pdesc[:n] = m.lm_desc[own_c]
             Pmaxd[:n] = m.lm_max_dist[own_c]
             Pvalid[:n] = True
-            idx_b, dist_b = fuse_project_targets(
-                self, tg, P, Pdesc, Pmaxd, Pvalid, TB=TB)
-            for a, k2 in enumerate(tg):
-                n_ops += self._apply_fuse_matches(
-                    int(k2), own_c, counts, remap, idx_b[a], dist_b[a],
-                    touched=touched)
+            for s in range(0, len(tg_all), TB):
+                tg = tg_all[s: s + TB]
+                idx_b, dist_b = fuse_project_targets(
+                    self, tg, P, Pdesc, Pmaxd, Pvalid, TB=TB)
+                for a, k2 in enumerate(tg):
+                    n_ops += self._apply_fuse_matches(
+                        int(k2), own_c, counts, remap, idx_b[a], dist_b[a],
+                        touched=touched)
         # backward: the neighborhood's landmarks into this KF
         back = m.kf_lm_idx[np.asarray(targets)]
         back = np.unique(back[back >= 0])
@@ -635,45 +638,75 @@ class LocalMapper:
         if unbound1.sum() < 10:
             return
 
-        # pack the neighbor batch (fixed NB slots, invalid ones masked);
+        # pack the neighbor batch (fixed NBB slots, invalid ones masked)
+        # and run ONE program + one download — fewer round trips beats
+        # smaller programs on the shared tunnel queue (r5 bench audit);
         # keyframe feature blocks gather from the device mirror by id
-        NB = 32 if self.is_mono else 12
-        nb = neighbors[:NB]
+        NBB = 32 if self.is_mono else 12
+        nb_all = neighbors[: (32 if self.is_mono else 12)]
         c1 = lie.np_se3_centers(m.kf_pose[kf_id])
         baselines = np.linalg.norm(
-            lie.np_se3_centers(m.kf_pose[nb]) - c1[None, :], axis=-1)
-        unbound2 = (m.kf_lm_idx[nb] < 0) & m.kf_feat_valid[nb]
-        pv = (baselines >= min_baseline) & (unbound2.sum(1) >= 10)
+            lie.np_se3_centers(m.kf_pose[nb_all]) - c1[None, :], axis=-1)
+        unbound2_all = (m.kf_lm_idx[nb_all] < 0) & m.kf_feat_valid[nb_all]
+        pv_all = (baselines >= min_baseline) & (unbound2_all.sum(1) >= 10)
         N = m.n_features
-
-        def padnb(a, fill=0):
-            out = np.full((NB,) + a.shape[1:], fill, a.dtype)
-            out[: len(nb)] = a
-            return out
-
-        pair_valid = np.zeros(NB, bool)
-        pair_valid[: len(nb)] = pv
-        if not pair_valid.any():
+        if not pv_all.any():
             return
-        self.dev_cache.ensure(m, np.concatenate([[kf_id], nb]))
-        nb_idx = np.zeros(NB, np.int32)
-        nb_idx[: len(nb)] = nb
+        self.dev_cache.ensure(m, np.concatenate([[kf_id], nb_all]))
         c = self.dev_cache
         import time as _time
 
         _t0 = _time.perf_counter()
-        out = _triangulate_batch(
-            self.geo_cam, float(self.cfg.orb.scale_factor),
-            jnp.asarray(np.int32(kf_id)), jnp.asarray(m.kf_pose[kf_id]),
-            jnp.asarray(unbound1),
-            jnp.asarray(nb_idx), jnp.asarray(padnb(m.kf_pose[nb])),
-            jnp.asarray(padnb(unbound2)),
-            jnp.asarray(pair_valid),
-            c.d_uv, c.d_desc, c.d_oct, c.d_angle,
-        )
-        f1_b, f2_b, X_b, cnt_b = jax.device_get(out)
+        outs = []
+        for s in range(0, len(nb_all), NBB):
+            nb = nb_all[s: s + NBB]
+            pv = pv_all[s: s + NBB]
+            if not pv.any():
+                outs.append(None)
+                continue
+
+            def padnb(a, fill=0):
+                out = np.full((NBB,) + a.shape[1:], fill, a.dtype)
+                out[: len(nb)] = a
+                return out
+
+            pair_valid = np.zeros(NBB, bool)
+            pair_valid[: len(nb)] = pv
+            nb_idx = np.zeros(NBB, np.int32)
+            nb_idx[: len(nb)] = nb
+            outs.append(_triangulate_batch(
+                self.geo_cam, float(self.cfg.orb.scale_factor),
+                jnp.asarray(np.int32(kf_id)), jnp.asarray(m.kf_pose[kf_id]),
+                jnp.asarray(unbound1),
+                jnp.asarray(nb_idx), jnp.asarray(padnb(m.kf_pose[nb])),
+                jnp.asarray(padnb(unbound2_all[s: s + NBB])),
+                jnp.asarray(pair_valid),
+                c.d_uv, c.d_desc, c.d_oct, c.d_angle,
+            ))
+        fetched = jax.device_get([o for o in outs if o is not None])
         if self.timer is not None:
             self.timer.record("tri_fetch", _time.perf_counter() - _t0)
+        # stitch batch results back into per-neighbor rows
+        f1_rows, f2_rows, X_rows, cnt_rows = [], [], [], []
+        fi = 0
+        for s in range(0, len(nb_all), NBB):
+            if outs[s // NBB] is None:
+                continue
+            f1_b, f2_b, X_b, cnt_b = fetched[fi]
+            fi += 1
+            nb = nb_all[s: s + NBB]
+            for a in range(len(nb)):
+                f1_rows.append(f1_b[a])
+                f2_rows.append(f2_b[a])
+                X_rows.append(X_b[a])
+                cnt_rows.append(cnt_b[a] if pv_all[s + a] else 0)
+        nb = np.concatenate([nb_all[s: s + NBB]
+                             for s in range(0, len(nb_all), NBB)
+                             if outs[s // NBB] is not None]) \
+            if any(o is not None for o in outs) else np.zeros(0, np.int64)
+        pair_valid = np.ones(len(nb), bool)
+        f1_b, f2_b, X_b = f1_rows, f2_rows, X_rows
+        cnt_b = cnt_rows
 
         created_all = []
         claimed1 = ~unbound1
@@ -843,6 +876,10 @@ class LocalMapper:
         if self.timer is not None:
             self.timer.record("lba_asm", _time.perf_counter() - _t_asm0)
         _t_sol0 = _time.perf_counter()
+        # ONE dispatch, one download: on the measurement tunnel the cost
+        # driver is round trips waiting behind the shared device queue,
+        # not program length — chunking this solve into 4-iteration
+        # dispatches measurably WORSENED every plane (r5 bench audit)
         res = local_ba.bundle_adjust(problem, self.geo_cam,
                                      iterations=iterations, n_iters=n_iters)
 

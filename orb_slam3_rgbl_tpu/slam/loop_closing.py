@@ -117,6 +117,9 @@ class LoopCloser:
         m = self.map
         N = m.n_features
         rngk = jax.random.PRNGKey(0)
+        # eager PRNG split compiles ~10 s on the tunnel — pay it here,
+        # not inside the first mid-run Sim3 verification
+        self._key, _ = jax.random.split(self._key)
         # -- Sim3 verification at the padded pair tiers ------------------
         for cap in pair_tiers:
             pts = _np.linspace(1.0, 2.0, cap * 3).reshape(cap, 3).astype(_np.float32)
@@ -213,14 +216,23 @@ class LoopCloser:
             self.apply_event(event, run_pose_graph=run_pose_graph)
         return event
 
-    def detect_only(self, kf_id: int) -> Optional[LoopEvent]:
+    def detect_only(self, kf_id: int,
+                    index_only: bool = False) -> Optional[LoopEvent]:
         """Detection half (safe on the loop plane: reads map arrays +
         mutates only the database/its own consistency state — the
         reference's LoopClosing thread runs detection concurrently with
-        LocalMapping the same way, LoopClosing.cc:90-308)."""
+        LocalMapping the same way, LoopClosing.cc:90-308).
+
+        ``index_only``: register the keyframe in the database but skip
+        candidate verification — the loop plane's load-shedding mode when
+        it falls behind the keyframe rate (verification costs ~1.5 s per
+        keyframe on the measurement tunnel; the DATABASE must still see
+        every keyframe or later retrievals lose recall)."""
         # index first: detect_candidates queries the stored signature of
         # kf_id (itself + covisibles are excluded from the results)
         self.db.add(kf_id, self.map.kf_desc[kf_id], self.map.kf_feat_valid[kf_id])
+        if index_only:
+            return None
         # reference skips detection until the map holds ≥ 12 KFs
         # (LoopClosing.cc:356) and right after a correction
         if self.map.n_kf >= 12 and kf_id > self.last_loop_kf + 5:
@@ -479,10 +491,11 @@ class LoopCloser:
         P[:n] = m.lm_pos[lms]
         Pdesc[:n] = m.lm_desc[lms]
         Pvalid[:n] = True
-        # project through the loop Sim3: x1 = S12 · T2w · X
-        S_1w = lie.sim3_mul(jnp.asarray(S12),
-                            lie.sim3_from_se3(jnp.asarray(m.kf_pose[cand])))
-        pc = np.asarray(lie.sim3_apply(S_1w, jnp.asarray(P)))
+        # project through the loop Sim3: x1 = S12 · T2w · X (numpy — the
+        # eager-jnp version compiled a fresh op family mid-run)
+        S_1w = lie.np_sim3_mul(np.asarray(S12, np.float32),
+                               lie.np_sim3_from_se3(m.kf_pose[cand]))
+        pc = lie.np_sim3_apply(S_1w, P)
         z = pc[:, 2]
         with np.errstate(divide="ignore", invalid="ignore"):
             u = self.cam.fx * pc[:, 0] / z + self.cam.cx
@@ -538,9 +551,10 @@ class LoopCloser:
         window = [int(k) for k in m.best_covisible(ev.kf_cur, 30, min_weight=1)]
         window = [ev.kf_cur] + [k for k in window if k != ev.kf_cur]
         # corrected Sim3 world→cam of the current KF: S_cw = S12 · T_mw
-        S_cw = lie.sim3_mul(jnp.asarray(ev.S12.astype(np.float32)),
-                            lie.sim3_from_se3(jnp.asarray(m.kf_pose[ev.kf_matched])))
-        T_cur_inv = lie.se3_inv(jnp.asarray(m.kf_pose[ev.kf_cur]))
+        # (numpy twins — eager jnp here compiled mid-run on the tunnel)
+        S_cw = lie.np_sim3_mul(ev.S12.astype(np.float32),
+                               lie.np_sim3_from_se3(m.kf_pose[ev.kf_matched]))
+        T_cur_inv = lie.np_se3_inv(m.kf_pose[ev.kf_cur])
 
         # loop-side landmarks: matched KF's 2-hop neighborhood
         loop_kfs = [ev.kf_matched] + [
@@ -564,9 +578,9 @@ class LoopCloser:
         remap = np.arange(m.capacity_lm, dtype=np.int32)
         for k in window[:12]:
             # corrected pose of window KF k: S_kw = (T_kc as Sim3) · S_cw
-            T_kc = lie.se3_mul(jnp.asarray(m.kf_pose[k]), T_cur_inv)
-            S_kw = lie.sim3_mul(lie.sim3_from_se3(T_kc), S_cw)
-            pc = np.asarray(lie.sim3_apply(S_kw, jnp.asarray(P)))
+            T_kc = lie.np_se3_mul(m.kf_pose[k], T_cur_inv)
+            S_kw = lie.np_sim3_mul(lie.np_sim3_from_se3(T_kc), S_cw)
+            pc = lie.np_sim3_apply(S_kw, P)
             z = pc[:, 2]
             with np.errstate(divide="ignore", invalid="ignore"):
                 u = self.cam.fx * pc[:, 0] / z + self.cam.cx
@@ -604,13 +618,14 @@ class LoopCloser:
             dup = (tgt >= 0) & (tgt != src)
             if dup.any():
                 a, b = src[dup], tgt[dup]
-                # loop-side (older) landmark wins ties (reference Replace
-                # direction in SearchAndFuse: loop MapPoints replace)
-                keep_a = counts[a] >= counts[b]
-                winner = np.where(keep_a, a, b)
-                loser = np.where(keep_a, b, a)
-                fresh = loser != winner
-                remap[loser[fresh]] = winner[fresh]
+                # the LOOP-side landmark always wins (reference
+                # SearchAndFuse: current MapPoints are Replaced BY the
+                # loop points unconditionally, LoopClosing.cc:2115+ —
+                # the old side's geometry is the trusted one; keeping a
+                # more-observed current point would anchor the seam to
+                # the drifted position)
+                fresh = a != b
+                remap[b[fresh]] = a[fresh]
         changed = np.nonzero(remap != np.arange(m.capacity_lm, dtype=np.int32))[0]
         if changed.size:
             for _ in range(4):

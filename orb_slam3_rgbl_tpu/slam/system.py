@@ -107,6 +107,13 @@ class System:
         self._loop_queue = deque()
         self._loop_inbox = deque()        # (map, LoopEvent) verified
         self._merge_candidate = None      # (map, kf_id) for _try_merge
+        self._last_shed_kf = None         # newest index-only keyframe —
+        #   re-queued for full detection when the mapping plane idles
+        self._freeze_kf = False           # loop correction in progress:
+        #   keyframe insertion must wait (a KF created mid-correction
+        #   keeps OLD-frame coordinates and warps the corrected map —
+        #   the reference blocks NeedNewKeyFrame while LocalMapping is
+        #   stopped for CorrectLoop, Tracking.cc:3127)
         # the transient GBA job (reference LoopClosing.cc:1206 spawns a
         # thread; a new correction aborts a running solve via mbStopGBA)
         self._gba_exec = None
@@ -116,6 +123,9 @@ class System:
 
         self._gba_lock = threading.Lock()
         self._loop_lock = threading.Lock()
+        self._kf_lock = threading.Lock()  # keyframe creation vs loop/GBA
+        #   writeback exclusion (Map::mMutexMapUpdate for the one pair of
+        #   operations that cannot tolerate interleaving)
         # live viewer (reference Viewer thread, System.cc:236-244);
         # created on demand via start_viewer()
         self._viewer = None
@@ -417,6 +427,7 @@ class System:
             self._loop_queue.clear()
         self._loop_inbox.clear()
         self._merge_candidate = None
+        self._last_shed_kf = None
         if self.atlas is None:
             self.atlas = Atlas(self.cfg, n_feat)
         next_frame = self.tracker.frame_id + 1 if self.tracker is not None else 0
@@ -430,14 +441,18 @@ class System:
             self.mapper.backlog_fn = lambda: len(self._map_queue)
         self.tracker.pre_kf_hook = self._poll_mapping
         self.tracker.join_mapping_fn = self._join_mapping
+        self.tracker.kf_guard = self._kf_lock
         if self.mapper is not None:
             self.tracker.kf_feats_hook = self.mapper.dev_cache.add
-        # busy = the mapping plane is ≥ 2 keyframes behind (reference
-        # NeedNewKeyFrame checks KeyframesInQueue() < 3 + idle flag)
+        # busy = the mapping plane is ≥ 3 keyframes behind (the reference
+        # NeedNewKeyFrame inserts while KeyframesInQueue() < 3 and relies
+        # on InterruptBA to catch up — our backlog-abort LBA plays that
+        # role, so the gate only guards unbounded queue growth)
         self.tracker.mapping_busy_fn = (
-            lambda: len(self._map_queue)
+            lambda: self._freeze_kf
+            or len(self._map_queue)
             + (1 if self._map_future is not None
-               and not self._map_future.done() else 0) >= 2)
+               and not self._map_future.done() else 0) >= 3)
         # in-flight = ANY worker job may be mutating the map arrays right
         # now (gates the tracker's direct lm_visible/lm_found writes —
         # a single running job already races them; the ≥2 busy gate above
@@ -515,7 +530,13 @@ class System:
                 self.tracker.flush_stat_buffer()
             if pending is not None:
                 self._try_merge(pending)
-            if self._map_queue:
+            # between jobs no worker is running — land a finished GBA
+            # solve NOW (waiting for a fully-idle plane starved the
+            # apply under sustained cadence; a solve landing hundreds of
+            # frames stale at export time warped the trajectory)
+            if self.loop_closer is not None:
+                self._poll_gba()
+            if self._map_queue or self._loop_inbox:
                 self._submit_mapping_worker()
         # with the mapping plane idle this thread owns map mutations:
         # land cross-map merges and the GBA writeback (the reference
@@ -527,6 +548,14 @@ class System:
             if self._loop_inbox:
                 self._submit_mapping_worker()
                 return
+            # retry the newest shed detection now that the mapping plane
+            # is idle (the shed gate otherwise starves detection under a
+            # sustained keyframe cadence)
+            if (self._last_shed_kf is not None and not self._loop_queue
+                    and self._loop_future is None):
+                kf = self._last_shed_kf
+                self._last_shed_kf = None
+                self._enqueue_loop_detect(kf)
             mc = self._merge_candidate
             if mc is not None:
                 self._merge_candidate = None
@@ -588,13 +617,33 @@ class System:
                     self._loop_future = None
                     return
                 kf_id = self._loop_queue.popleft()
+            # load shedding: a full detection costs ~1.5-2 s of shared
+            # device-queue time on the tunnel — run it only when the
+            # MAPPING plane is caught up (its solves would otherwise
+            # stall behind the detection's round trips and vice versa);
+            # under pressure the keyframe is INDEXED ONLY (the database
+            # must stay complete; skipped verifications are re-covered
+            # by later keyframes of the same revisit stretch)
+            index_only = (
+                len(self._loop_queue) > 0
+                or bool(self._map_queue)
+                or (self._map_future is not None
+                    and not self._map_future.done()))
             lc = self.loop_closer
             if lc is None:
                 continue
             try:
                 with (self.timer.stage("pr") if self.timer is not None
                       else contextlib.nullcontext()):
-                    ev = lc.detect_only(kf_id)
+                    ev = lc.detect_only(kf_id, index_only=index_only)
+                if index_only:
+                    # remember the newest shed keyframe — the idle poll
+                    # re-enqueues it for a full detection once the
+                    # mapping plane catches up
+                    self._last_shed_kf = kf_id
+                elif self._last_shed_kf is not None \
+                        and kf_id >= self._last_shed_kf:
+                    self._last_shed_kf = None
             except Exception:
                 import traceback
                 from orb_slam3_rgbl_tpu.utils.logging import log
@@ -604,6 +653,11 @@ class System:
             if lc is not self.loop_closer:
                 continue               # components respawned mid-detect
             if ev is not None:
+                # reserve the post-loop suppression window NOW — queued
+                # detections behind this one would otherwise re-verify
+                # the same revisit before the correction applies
+                # (apply_event re-stamps the same value later)
+                lc.last_loop_kf = kf_id
                 self._loop_inbox.append((self.map, ev))
             else:
                 self._merge_candidate = (self.map, kf_id)
@@ -621,9 +675,20 @@ class System:
             if not (self.map.kf_valid[ev.kf_cur]
                     and self.map.kf_valid[ev.kf_matched]):
                 continue               # a side was culled since detection
-            with (self.timer.stage("opt_essential") if self.timer is not None
-                  else contextlib.nullcontext()):
-                self.loop_closer.apply_event(ev)
+            # freeze keyframe insertion for the duration: a keyframe
+            # created mid-correction would keep old-frame coordinates
+            # and anchor the rest of the run to a warped seam
+            self._freeze_kf = True
+            try:
+                # the freeze stops NEW insertions; the lock waits out an
+                # insertion already in flight on the tracking thread
+                with self._kf_lock:
+                    with (self.timer.stage("opt_essential")
+                          if self.timer is not None
+                          else contextlib.nullcontext()):
+                        self.loop_closer.apply_event(ev)
+            finally:
+                self._freeze_kf = False
 
     # -- transient GBA job (reference LoopClosing.cc:1206/2268) ---------
     def _dispatch_gba(self):
@@ -940,6 +1005,7 @@ class System:
             self._loop_queue.clear()
         self._loop_inbox.clear()
         self._merge_candidate = None
+        self._last_shed_kf = None
 
         # --- weld-window bundle adjustment (LoopClosing.cc:1623-1627;
         # inertial maps use MergeInertialBA, Optimizer.cc:4875 — here the
@@ -1047,6 +1113,7 @@ class System:
             self._loop_queue.clear()
         self._loop_inbox.clear()
         self._merge_candidate = None
+        self._last_shed_kf = None
         self.atlas = None
         self.map = None
         self.tracker = None

@@ -100,6 +100,8 @@ class Tracker:
         self.mapping_inflight_fn = None  # wired by System: ANY worker job
         #   running right now (a single in-flight job already mutates the
         #   arrays — the ≥2 busy gate above is only the insertion policy)
+        self.kf_guard = None  # wired by System: lock held across keyframe
+        #   creation so a loop correction cannot rewrite the map mid-insert
         self._stat_buffer: list = []  # deferred lm_visible/lm_found bumps
         #   captured while a mapping job is mutating the arrays
         self._reloc_key = jax.random.PRNGKey(13)
@@ -1022,6 +1024,13 @@ class Tracker:
     def _create_keyframe(self, feats, timestamp):
         if self.pre_kf_hook is not None:
             self.pre_kf_hook()
+        import contextlib
+
+        with (self.kf_guard if self.kf_guard is not None
+              else contextlib.nullcontext()):
+            self._create_keyframe_locked(feats, timestamp)
+
+    def _create_keyframe_locked(self, feats, timestamp):
         uv = np.asarray(feats.uv)
         depth = np.asarray(feats.depth)
         valid = np.asarray(feats.valid)

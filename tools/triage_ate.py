@@ -51,15 +51,34 @@ def main():
     from orb_slam3_rgbl_tpu.slam.system import System
     from orb_slam3_rgbl_tpu.slam import map_state as ms
     from orb_slam3_rgbl_tpu.utils.profiling import StageTimer
+    from orb_slam3_rgbl_tpu.utils import logging as slam_log
+
+    slam_log.set_level(1)
 
     cfg = syn.synthetic_rgbl_config()
     if mode == "noloop":
         cfg = dataclasses.replace(cfg, loop_closing=False)
+    if os.environ.get("TRIAGE_WORLD", "small") == "bench":
+        # EXACT bench_engine geometry (KITTI regime, radius-22 box) —
+        # reproduces the TPU cadence bench's trajectory on CPU
+        from orb_slam3_rgbl_tpu.config import kitti_rgbl_config
+
+        cfg = kitti_rgbl_config()
+        if mode == "noloop":
+            cfg = dataclasses.replace(cfg, loop_closing=False)
+        cam = cfg.camera
+        radius = 22.0
+        w = syn.make_box_world(0, tex_size=512, half=radius + 14.0)
+        traj = syn.multi_loop_trajectory(
+            n_frames, radius=radius, period=max((n_frames + 8) // 2, 40))
+        traj[:, 4] -= radius
+    else:
+        cam = cfg.camera
+        w = syn.make_box_world(0, tex_size=256)
+        traj = syn.multi_loop_trajectory(n_frames, radius=6.0,
+                                         period=max((n_frames + 8) // 2, 40))
+        traj[:, 4] -= 6.0
     cam = cfg.camera
-    w = syn.make_box_world(0, tex_size=256)
-    traj = syn.multi_loop_trajectory(n_frames, radius=6.0,
-                                     period=max((n_frames + 8) // 2, 40))
-    traj[:, 4] -= 6.0
 
     sysm = System(cfg)
     sysm.CLOUD_CAP = 16384
