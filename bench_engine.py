@@ -207,9 +207,12 @@ def run_engine_bench(n_frames: int = 300, warmup: int = 40,
         from orb_slam3_rgbl_tpu.utils import serialization
 
         serialization.save_map(sp, sysm.map)
-        np.savez(sp + ".gt.npz", traj=traj)
+        np.savez(sp + ".gt.npz", traj=traj,
+                 kf_frames=np.asarray(kf_frames, np.int64))
         log(f"map saved to {sp}")
     est = sysm.trajectory()
+    if sp:
+        np.savez(sp + ".est.npz", est=est)
     gt = traj[: len(est)]
     err = float(ate_rmse(jnp.asarray(est[:, 4:7]),
                          jnp.asarray(gt[:, 4:7] - gt[0, 4:7])))

@@ -45,6 +45,47 @@ def triangulate_dlt(xn1: jax.Array, xn2: jax.Array, Tc1w: jax.Array, Tc2w: jax.A
     return X[..., :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)[..., None]
 
 
+def triangulate_fast(xn1: jax.Array, xn2: jax.Array, Tc1w: jax.Array,
+                     Tc2w: jax.Array) -> jax.Array:
+    """Inhomogeneous DLT: fix the homogeneous coordinate w=1 and solve the
+    4×3 system by closed-form 3×3 normal equations (adjugate inverse).
+
+    The homogeneous eigh path (:func:`triangulate_dlt`) costs ~110 ms for
+    a mapping-plane batch (24k 4×4 eigendecompositions); this closed form
+    is ~5 ms on the same batch. Valid for FINITE points — exactly the set
+    that survives the mapping plane's parallax/cheirality/reprojection
+    gates (points at infinity have w→0 and are rejected by the parallax
+    gate before ever being accepted). Mono two-view INIT keeps the exact
+    eigh path, where conditioning matters and the batch is small."""
+    P1 = lie.se3_to_matrix(Tc1w)[..., :3, :]
+    P2 = lie.se3_to_matrix(Tc2w)[..., :3, :]
+    rows = []
+    for xn, P in ((xn1, P1), (xn2, P2)):
+        x, y = xn[..., 0:1], xn[..., 1:2]
+        rows.append(x * P[..., 2, :] - P[..., 0, :])
+        rows.append(y * P[..., 2, :] - P[..., 1, :])
+    A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
+    A3, a4 = A[..., :3], A[..., 3]
+    M = jnp.swapaxes(A3, -1, -2) @ A3                       # (..., 3, 3)
+    b = -jnp.einsum("...ij,...i->...j", A3, a4)
+    c00 = M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1]
+    c01 = M[..., 0, 2] * M[..., 2, 1] - M[..., 0, 1] * M[..., 2, 2]
+    c02 = M[..., 0, 1] * M[..., 1, 2] - M[..., 0, 2] * M[..., 1, 1]
+    c10 = M[..., 1, 2] * M[..., 2, 0] - M[..., 1, 0] * M[..., 2, 2]
+    c11 = M[..., 0, 0] * M[..., 2, 2] - M[..., 0, 2] * M[..., 2, 0]
+    c12 = M[..., 0, 2] * M[..., 1, 0] - M[..., 0, 0] * M[..., 1, 2]
+    c20 = M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0]
+    c21 = M[..., 0, 1] * M[..., 2, 0] - M[..., 0, 0] * M[..., 2, 1]
+    c22 = M[..., 0, 0] * M[..., 1, 1] - M[..., 0, 1] * M[..., 1, 0]
+    det = M[..., 0, 0] * c00 + M[..., 0, 1] * c10 + M[..., 0, 2] * c20
+    inv = jnp.stack([jnp.stack([c00, c01, c02], -1),
+                     jnp.stack([c10, c11, c12], -1),
+                     jnp.stack([c20, c21, c22], -1)], -2)
+    inv = inv / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)[..., None, None]
+    return jnp.einsum("...ij,...j->...i", inv, b)
+
+
 def triangulate_midpoint(xn1, xn2, Tc1w, Tc2w):
     """Closed-form midpoint triangulation (cheaper than DLT; used for
     candidate scoring). Returns (..., 3) world points."""

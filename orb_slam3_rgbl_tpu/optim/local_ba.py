@@ -236,7 +236,8 @@ def bundle_adjust(
         new_poses = lie.se3_normalize(lie.se3_mul(lie.se3_exp(dp), poses))
         new_lms = lms + dl
         P2 = P._replace(poses=new_poses, landmarks=new_lms)
-        *_, active2, cost_new = _linearize(P2, cam, use_huber, obs_active)
+        _, _, _, _, chi2_new, active2, cost_new = _linearize(
+            P2, cam, use_huber, obs_active)
         # a diverged step can throw every point behind the camera (or go
         # NaN): active empties, cost collapses to 0 and would "win" —
         # accept only finite steps that keep the active set alive
@@ -248,11 +249,11 @@ def bundle_adjust(
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-10), jnp.minimum(lam * 4.0, 1e4))
 
         # mid-solve outlier culling (reference Optimizer.cc:1404-1421: drop
-        # chi2 > th after the robust phase, continue without them)
+        # chi2 > th after the robust phase, continue without them). chi2
+        # is Huber-independent, so the accepted state's chi2 is already in
+        # hand from the two linearizations above — no third one needed.
         cull_now = it == (huber_iters - 1)
-        P3 = problem._replace(poses=poses, landmarks=lms)
-        r3, *_ = _linearize(P3, cam, False, obs_active)
-        chi2_now = jnp.sum(r3 * r3, axis=-1) * problem.obs_inv_sigma2
+        chi2_now = jnp.where(accept, chi2_new, chi2)
         new_active = jnp.where(cull_now, obs_active & (chi2_now <= 2.0 * chi2_th), obs_active)
         return (it + 1, poses, lms, lam, new_active,
                 jnp.where(accept, cost_new, cost))

@@ -247,7 +247,11 @@ def _triangulate_batch(cam, scale_factor, kf_idx, T1, unbound1,
         T1b = jnp.broadcast_to(T1, (N, 7))
         T2b = jnp.broadcast_to(T2, (N, 7))
         cosp = triangulation.parallax_cos(xn1, xn2, T1b, T2b)
-        X = triangulation.triangulate_dlt(xn1, xn2, T1b, T2b)
+        # closed-form inhomogeneous DLT: the batched 4×4 eigh was ~110 ms
+        # of the ~125 ms triangulation program (r5 stage probe); the
+        # reprojection/parallax gates below reject anything the w=1
+        # assumption could degrade
+        X = triangulation.triangulate_fast(xn1, xn2, T1b, T2b)
         ok = matched & (cosp > 0) & (cosp < 0.9998)
         ok &= jnp.isfinite(X).all(axis=1)
         Xs = jnp.nan_to_num(X)
@@ -884,13 +888,16 @@ class LocalMapper:
                                      iterations=iterations, n_iters=n_iters)
 
         # writeback (the reference takes mMutexMapUpdate; here it is just
-        # array stores bumping the version)
-        new_poses = np.asarray(res.poses, np.float32)
-        self.map.kf_pose[window] = new_poses[: len(window)]
-        self.map.lm_pos[lm_ids] = np.asarray(res.landmarks, np.float32)[: lm_ids.size]
+        # array stores bumping the version). ONE batched fetch: each
+        # separate np.asarray pays a full tunnel round trip (~26 ms) —
+        # three of them were ~80 ms of the solve stage (r5 probe)
+        new_poses, new_lms, inl = jax.device_get(
+            (res.poses, res.landmarks, res.obs_inlier))
+        self.map.kf_pose[window] = np.asarray(new_poses, np.float32)[: len(window)]
+        self.map.lm_pos[lm_ids] = np.asarray(new_lms, np.float32)[: lm_ids.size]
 
         # drop observations classified outlier (unbind feature slots)
-        inl = np.asarray(res.obs_inlier)[: lm_ids.size]
+        inl = np.asarray(inl)[: lm_ids.size]
         bad_obs = (~inl) & obs_mask
         if bad_obs.any():
             mrows, dcols = np.nonzero(bad_obs)
@@ -1070,17 +1077,20 @@ class LocalMapper:
         m = self.map
         _, T_cb = self._vi_extrinsics()
         K = len(chain)
-        Twb = np.asarray(res.Twb, np.float32)[:K]   # drop tier padding
+        # one batched fetch (each separate np.asarray is a tunnel RT)
+        Twb, vel, bg, ba, lms_d, inl_d = jax.device_get(
+            (res.Twb, res.vel, res.bg, res.ba, res.landmarks, res.obs_inlier))
+        Twb = np.asarray(Twb, np.float32)[:K]       # drop tier padding
         Tcw = lie.np_se3_mul(np.tile(np.asarray(T_cb, np.float32), (K, 1)),
                              lie.np_se3_inv(Twb))
         upd = chain[n_fixed:]
         m.kf_pose[upd] = Tcw[n_fixed:]
-        m.kf_vel[upd] = np.asarray(res.vel, np.float32)[n_fixed:K]
-        m.kf_bg[upd] = np.asarray(res.bg, np.float32)[n_fixed:K]
-        m.kf_ba[upd] = np.asarray(res.ba, np.float32)[n_fixed:K]
+        m.kf_vel[upd] = np.asarray(vel, np.float32)[n_fixed:K]
+        m.kf_bg[upd] = np.asarray(bg, np.float32)[n_fixed:K]
+        m.kf_ba[upd] = np.asarray(ba, np.float32)[n_fixed:K]
         if lm_ids.size:
-            m.lm_pos[lm_ids] = np.asarray(res.landmarks, np.float32)[: lm_ids.size]
-        inl = np.asarray(res.obs_inlier)[: lm_ids.size]
+            m.lm_pos[lm_ids] = np.asarray(lms_d, np.float32)[: lm_ids.size]
+        inl = np.asarray(inl_d)[: lm_ids.size]
         bad = (~inl) & obs_mask
         if bad.any():
             rows, cols = np.nonzero(bad)

@@ -135,7 +135,11 @@ class LoopCloser:
             sim3_opt.optimize_sim3(
                 res.S12, jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(uv),
                 jnp.asarray(uv), jnp.asarray(s2), jnp.asarray(s2),
-                res.inliers, self.cam, fix_scale=self.fix_scale)
+                # the exact runtime expression, eager `&` included — a
+                # bare res.inliers here left jit(bitwise_and) to compile
+                # mid-run at the first real verification (r5 audit)
+                res.inliers & jnp.asarray(vm), self.cam,
+                fix_scale=self.fix_scale)
         # -- guided / fuse / reloc windowed matching variants ------------
         # (th and ratio are STATIC jit args — every distinct combination
         # used at loop/reloc time is its own executable)
@@ -344,23 +348,27 @@ class LoopCloser:
             jnp.asarray(ps1), jnp.asarray(ps2), jnp.asarray(vm), self.cam,
             sub, n_hypotheses=512, fix_scale=self.fix_scale,
         )
-        if int(res.n_inliers) < 20:
-            return None
+        # dispatch the refinement BEFORE gating on the RANSAC count: both
+        # fetches then batch into single round trips instead of four
+        # sequential ~26 ms RTs per candidate (r5 tunnel probe)
         S12, inl, n = sim3_opt.optimize_sim3(
             res.S12, jnp.asarray(pp1), jnp.asarray(pp2), jnp.asarray(pu1),
             jnp.asarray(pu2), jnp.asarray(1.0 / ps1), jnp.asarray(1.0 / ps2),
             res.inliers & jnp.asarray(vm), self.cam, fix_scale=self.fix_scale,
         )
-        if int(n) < 25:
+        n_ransac, n_opt, inl_h, S12_h = jax.device_get(
+            (res.n_inliers, n, inl, S12))
+        if int(n_ransac) < 20 or int(n_opt) < 25:
             return None
-        inl_np = np.asarray(inl)[:P]
+        n = int(n_opt)
+        inl_np = np.asarray(inl_h)[:P]
 
         # SearchBySim3 escalation (reference ORBmatcher::SearchBySim3 →
         # second OptimizeSim3, LoopClosing.cc:700-780 ladder): project the
         # candidate neighborhood's landmarks into the current keyframe
         # through the estimated Sim3 to grow the correspondence set, then
         # refine once more with everything
-        S12_np = np.asarray(S12, np.float32)
+        S12_np = np.asarray(S12_h, np.float32)
         ext = self._guided_sim3_matches(kf_id, cand, S12_np,
                                         exclude_f1=f1[inl_np])
         if ext is not None:
@@ -384,11 +392,12 @@ class LoopCloser:
                 jnp.asarray(1.0 / qw1), jnp.asarray(1.0 / qw2),
                 jnp.asarray(vm2), self.cam, fix_scale=self.fix_scale,
             )
-            if int(n2) >= int(n):
-                S12b_np = np.asarray(S12b, np.float32)
+            S12b_np, inl2_h, n2 = jax.device_get((S12b, inl2, n2))
+            if int(n2) >= n:
+                S12b_np = np.asarray(S12b_np, np.float32)
                 if not self._verify_with_neighbors(kf_id, cand, S12b_np):
                     return None
-                inl2_np = np.asarray(inl2)[:P2]
+                inl2_np = np.asarray(inl2_h)[:P2]
                 self._pending_fusion = (a_lm1[inl2_np], a_lm2[inl2_np])
                 return LoopEvent(kf_cur=kf_id, kf_matched=cand,
                                  n_inliers=int(n2), S12=S12b_np)
@@ -836,7 +845,7 @@ class LoopCloser:
             n = min(chunk, iterations - it)
             res = global_ba.global_bundle_adjust(
                 problem._replace(poses=poses, landmarks=lms), self.cam,
-                iterations=n)
+                iterations=n, cg_iters=64)
             poses, lms = res.poses, res.landmarks
             it += n
         return (window, lm_ids, res, pose_before, lm_gen_before)
@@ -856,8 +865,9 @@ class LoopCloser:
         (generation check)."""
         window, lm_ids, res, pose_before, lm_gen_before = out
         m = self.map
-        new_poses = np.asarray(res.poses, np.float32)[: len(window)]
-        new_lms = np.asarray(res.landmarks, np.float32)[: len(lm_ids)]
+        new_poses, new_lms = jax.device_get((res.poses, res.landmarks))
+        new_poses = np.asarray(new_poses, np.float32)[: len(window)]
+        new_lms = np.asarray(new_lms, np.float32)[: len(lm_ids)]
         # reject a diverged solve wholesale (guards exist inside the
         # solver; this is the final writeback gate)
         bound = 10.0 * (1.0 + np.abs(pose_before[window][:, 4:7]).max())

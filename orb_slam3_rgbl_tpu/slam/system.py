@@ -712,8 +712,12 @@ class System:
                 self._gba_exec = ThreadPoolExecutor(
                     max_workers=1, thread_name_prefix="gba")
             self._gba_abort = threading.Event()
+            # 16 LM iterations: the offline convergence probe
+            # (tools/gba_probe.py on the r5 bench map) shows the loop-bent
+            # map needs ~16-20 iterations to unbend (6 left 1.5 m KF ATE,
+            # 16+ reaches <1 m); chunks stay abortable every 2 iterations
             self._gba_future = self._gba_exec.submit(
-                self.loop_closer._gba_iterate, snapshot, 6, self._gba_abort)
+                self.loop_closer._gba_iterate, snapshot, 16, self._gba_abort)
 
     def _abort_gba_locked(self):
         if self._gba_future is not None:

@@ -109,6 +109,7 @@ class Tracker:
         self._mono_ref = None          # (FrameFeatures, timestamp) init reference
         self._mono_key = jax.random.PRNGKey(21)
         self.new_kf_ids: list = []     # keyframes created this frame (0, 1 or 2)
+        self._feats_prefetch = None    # (feats, blob, desc) async KF download
 
         self.cur_pose = np.asarray(lie.se3_identity(), np.float32)
         self.last_pose: Optional[np.ndarray] = None
@@ -1153,6 +1154,15 @@ class Tracker:
             and self.frame_id + 1 >= self.last_reloc_frame + self.max_frames
         )
         if usable:
+            # prefetch gate: a forced-cadence KF is due, or (natural
+            # policy) ≥3 frames since the last KF — the realistic KF
+            # period is 3-5 frames, so this skips most non-KF frames
+            # (each prefetch costs ~130 KB of tunnel bandwidth)
+            gap = self.frame_id + 1 - self.last_kf_frame
+            kf_likely = (self.ref_kf >= 0 and not self.only_tracking
+                         and gap >= (self.force_kf_every
+                                     if self.force_kf_every > 0
+                                     else max(3, self.min_frames)))
             if timer is not None:
                 with timer.stage("pose_pred"):
                     fp.sync(self.map, self.ref_kf, self.last_feats,
@@ -1160,11 +1170,15 @@ class Tracker:
                     pred = self._predict_pose_fused()
                 with timer.stage("lm_track"):
                     out = fp.run(img, points, cloud_valid, pred)
+                    if kf_likely:
+                        self._prefetch_feats(out.feats)
                     host = self._download_fused(out)
             else:
                 fp.sync(self.map, self.ref_kf, self.last_feats,
                         self.last_lm_idx, self.last_lm_gen)
                 out = fp.run(img, points, cloud_valid, self._predict_pose_fused())
+                if kf_likely:
+                    self._prefetch_feats(out.feats)
                 host = self._download_fused(out)
             if host[0] >= 30:
                 return self._accept_fused(out, host, timestamp, timer=timer)
@@ -1341,17 +1355,41 @@ class Tracker:
                            created_kf=created, timestamp=timestamp)
 
     @staticmethod
-    def _download_feats(feats: FrameFeatures) -> FrameFeatures:
-        """Keyframe-creation feats download in TWO transfers (one f32
-        blob + the u32 descriptors) instead of eight — the (N,)-array
-        round-trips dominated the KF-frame tail."""
-        N = feats.uv.shape[0]
+    def _pack_feats_blob(feats: FrameFeatures):
         blob = jnp.concatenate([
             feats.uv.reshape(-1), feats.response,
             feats.octave.astype(jnp.float32), feats.angle,
             feats.valid.astype(jnp.float32), feats.depth, feats.u_right,
         ])
-        b, desc = jax.device_get((blob, feats.desc))
+        return blob, feats.desc
+
+    def _prefetch_feats(self, feats: FrameFeatures):
+        """Start the keyframe feats download ASYNC, right behind the fused
+        step in the device queue — before the mapping worker can slip a
+        ~100 ms program in between. Issued only on frames the keyframe
+        policy is likely to fire (cadence/min-frames due), so non-KF
+        frames pay nothing."""
+        blob, desc = self._pack_feats_blob(feats)
+        try:
+            blob.copy_to_host_async()
+            desc.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._feats_prefetch = (feats, blob, desc)
+
+    def _download_feats(self, feats: FrameFeatures) -> FrameFeatures:
+        """Keyframe-creation feats download in TWO transfers (one f32
+        blob + the u32 descriptors) instead of eight — the (N,)-array
+        round-trips dominated the KF-frame tail. Uses the async prefetch
+        when one was issued for this frame's features."""
+        N = feats.uv.shape[0]
+        pf = self._feats_prefetch
+        if pf is not None and pf[0] is feats:
+            blob, desc = pf[1], pf[2]
+        else:
+            blob, desc = self._pack_feats_blob(feats)
+        self._feats_prefetch = None
+        b, desc = jax.device_get((blob, desc))
         b = np.asarray(b)
         uv = b[: 2 * N].reshape(N, 2).astype(np.float32)
         response = b[2 * N: 3 * N].astype(np.float32)

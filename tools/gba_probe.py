@@ -10,6 +10,8 @@ Run: python tools/gba_probe.py /tmp/map_r5.npz
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 

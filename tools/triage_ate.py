@@ -16,6 +16,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # sitecustomize pre-imports jax with JAX_PLATFORMS=axon (remote TPU) —
 # the env var alone is too late; force CPU through jax.config (the same
 # dance as tests/conftest.py). TRIAGE_TPU=1 keeps the real device.
