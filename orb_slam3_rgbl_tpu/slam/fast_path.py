@@ -111,10 +111,14 @@ class FastPath:
             bound &= m.lm_gen[safe] == last_lm_gen
         Xw = np.zeros((self.n_feat, 3), np.float32)
         Xw[bound] = m.lm_pos[lm[bound]]
-        self.prev_uv = jnp.asarray(np.asarray(last_feats.uv, np.float32))
-        self.prev_desc = jnp.asarray(np.asarray(last_feats.desc))
-        self.prev_oct = jnp.asarray(np.asarray(last_feats.octave, np.int32))
-        self.prev_angle = jnp.asarray(np.asarray(last_feats.angle, np.float32))
+        # jnp.asarray is a no-op for device-resident arrays (the fused
+        # path's out.feats) — round-tripping them through np.asarray cost
+        # 4 sequential ~26 ms tunnel downloads + re-uploads per map
+        # version bump, ON the tracking thread (r5 pose_pred spikes)
+        self.prev_uv = jnp.asarray(last_feats.uv, jnp.float32)
+        self.prev_desc = jnp.asarray(last_feats.desc)
+        self.prev_oct = jnp.asarray(last_feats.octave, jnp.int32)
+        self.prev_angle = jnp.asarray(last_feats.angle, jnp.float32)
         self.prev_Xw = jnp.asarray(Xw)
         self.prev_bound = jnp.asarray(bound)
         self.prev_lm_ids = np.where(bound, lm, -1).astype(np.int32)

@@ -162,9 +162,11 @@ def _fuse_project_batch(cam, scale_factor, n_levels, tg_idx, poses, tvalid,
     return jax.vmap(one)(poses, uvs, descs, octs, fvalids, tvalid)
 
 
-def fuse_project_targets(mapper, tg, P, Pdesc, Pmaxd, Pvalid, TB):
-    """Host wrapper: pad target ids/poses to TB slots and run the fused
-    projection batch against the device feature mirror."""
+def fuse_project_targets_async(mapper, tg, P, Pdesc, Pmaxd, Pvalid, TB):
+    """Dispatch half: pad target ids/poses to TB slots and ENQUEUE the
+    fused projection batch against the device feature mirror. Returns
+    device arrays — batch the fetch with other in-flight dispatches
+    (each separate fetch pays a full tunnel round trip)."""
     m = mapper.map
     mapper.dev_cache.ensure(m, tg)
     tgp = np.zeros(TB, np.int32)
@@ -174,14 +176,20 @@ def fuse_project_targets(mapper, tg, P, Pdesc, Pmaxd, Pvalid, TB):
     tvalid = np.zeros(TB, bool)
     tvalid[: len(tg)] = True
     c = mapper.dev_cache
-    return jax.device_get(_fuse_project_batch(
+    return _fuse_project_batch(
         mapper.geo_cam, float(mapper.cfg.orb.scale_factor),
         mapper.cfg.orb.n_levels,
         jnp.asarray(tgp), jnp.asarray(posesp), jnp.asarray(tvalid),
         c.d_uv, c.d_desc, c.d_oct, c.d_valid,
         jnp.asarray(P), jnp.asarray(Pdesc), jnp.asarray(Pmaxd),
         jnp.asarray(Pvalid),
-    ))
+    )
+
+
+def fuse_project_targets(mapper, tg, P, Pdesc, Pmaxd, Pvalid, TB):
+    """Dispatch + fetch in one call (single-batch call sites)."""
+    return jax.device_get(fuse_project_targets_async(
+        mapper, tg, P, Pdesc, Pmaxd, Pvalid, TB))
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor"))
@@ -508,13 +516,15 @@ class LocalMapper:
         own = np.unique(own[own >= 0])
         n_ops = 0
         touched = []
-        # forward: this KF's landmarks into every neighbor — ALL targets
-        # in ONE dispatch + one download (round trips dominate on the
-        # shared tunnel queue)
+        # forward (this KF's landmarks into every neighbor) and backward
+        # (the neighborhood's landmarks into this KF) are independent
+        # gathers: DISPATCH both, then fetch both in ONE round trip —
+        # round trips dominate on the shared tunnel queue
         TB = 16
         tg_all = np.asarray(targets[:TB], np.int64)
+        fwd_out = None
+        own_c = own[:cap]
         if own.size and tg_all.size:
-            own_c = own[:cap]
             n = own_c.size
             P = np.zeros((cap, 3), np.float32)
             Pdesc = np.zeros((cap, 8), np.uint32)
@@ -524,20 +534,37 @@ class LocalMapper:
             Pdesc[:n] = m.lm_desc[own_c]
             Pmaxd[:n] = m.lm_max_dist[own_c]
             Pvalid[:n] = True
-            for s in range(0, len(tg_all), TB):
-                tg = tg_all[s: s + TB]
-                idx_b, dist_b = fuse_project_targets(
-                    self, tg, P, Pdesc, Pmaxd, Pvalid, TB=TB)
-                for a, k2 in enumerate(tg):
-                    n_ops += self._apply_fuse_matches(
-                        int(k2), own_c, counts, remap, idx_b[a], dist_b[a],
-                        touched=touched)
-        # backward: the neighborhood's landmarks into this KF
+            fwd_out = fuse_project_targets_async(
+                self, tg_all, P, Pdesc, Pmaxd, Pvalid, TB=TB)
         back = m.kf_lm_idx[np.asarray(targets)]
         back = np.unique(back[back >= 0])
         back = back[~np.isin(back, own)]
-        n_ops += self._fuse_into(kf_id, back, counts, remap, 2 * cap,
-                                 touched=touched)
+        back = back[: 2 * cap]
+        bwd_out = None
+        if back.size:
+            bcap = 2 * cap
+            Pb = np.zeros((bcap, 3), np.float32)
+            Pbd = np.zeros((bcap, 8), np.uint32)
+            Pbm = np.ones(bcap, np.float32)
+            Pbv = np.zeros(bcap, bool)
+            nb2 = back.size
+            Pb[:nb2] = m.lm_pos[back]
+            Pbd[:nb2] = m.lm_desc[back]
+            Pbm[:nb2] = m.lm_max_dist[back]
+            Pbv[:nb2] = True
+            bwd_out = fuse_project_targets_async(
+                self, np.asarray([kf_id], np.int64), Pb, Pbd, Pbm, Pbv, TB=1)
+        fetched = jax.device_get((fwd_out, bwd_out))
+        if fetched[0] is not None:
+            idx_b, dist_b = fetched[0]
+            for a, k2 in enumerate(tg_all):
+                n_ops += self._apply_fuse_matches(
+                    int(k2), own_c, counts, remap, idx_b[a], dist_b[a],
+                    touched=touched)
+        if fetched[1] is not None:
+            idx1, d1 = fetched[1]
+            n_ops += self._apply_fuse_matches(
+                kf_id, back, counts, remap, idx1[0], d1[0], touched=touched)
 
         # apply Replace remaps globally (path-compress chains first)
         changed = remap != np.arange(m.capacity_lm, dtype=np.int32)

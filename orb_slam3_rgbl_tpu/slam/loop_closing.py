@@ -210,7 +210,12 @@ class LoopCloser:
                 obs_ur=jnp.full((Mp, 8), -1.0, jnp.float32),
                 obs_inv_sigma2=jnp.ones((Mp, 8), jnp.float32),
                 obs_mask=jnp.ones((Mp, 8), bool))
-            _gba.global_bundle_adjust(prob, self.cam, iterations=2)
+            # EXACT runtime signature (_gba_iterate chunks: iterations=2,
+            # cg_iters=64) — iterations/cg_iters are static jit args, any
+            # mismatch compiles a fresh executable mid-run (~75 s on the
+            # tunnel at the first loop event, r5 bench)
+            _gba.global_bundle_adjust(prob, self.cam, iterations=2,
+                                      cg_iters=64)
 
     def on_keyframe(self, kf_id: int, run_pose_graph: bool = True) -> Optional[LoopEvent]:
         """Detect + (if verified) correct a loop for the new keyframe, then
